@@ -1,0 +1,79 @@
+"""Benchmark: AO render throughput on the default backend (TPU).
+
+Prints ONE JSON line:
+    {"metric": "rays_per_sec", "value": N, "unit": "rays/s", "vs_baseline": R}
+
+The baseline is CPU-lucille on the same container (the reference publishes
+no numbers — SURVEY.md section 6): lucille compiled with gcc -O2 and driven
+through its Ri* API on examples/ambient_occlusion at 160x120, 3x3 pixel
+samples, 64 gather rays prints 5.26 M rays/sec (2 pthreads, this host,
+measured 2026-08-17; see tests/golden/gen_ri_driver.py for the harness).
+Ray counting matches the reference's (raytrace.c:96): eye rays + hemisphere
+rays for primary hits only.
+
+The bench scene is the same bundled ambient_occlusion.rib at 640x480
+(lucille's default resolution), 3x3 subpixel samples, 64 AO rays.
+"""
+
+from __future__ import annotations
+
+import json
+import sys
+import time
+
+REFERENCE_CPU_RAYS_PER_SEC = 5.256651e6  # CPU-lucille, measured (see docstring)
+
+RIB = "/root/reference/examples/ambient_occlusion/ambient_occlusion.rib"
+
+
+def main() -> int:
+    import jax
+
+    from lucille_tpu.render.renderer import Renderer
+    from lucille_tpu.ri.api import RiState
+    from lucille_tpu.rib.parser import parse_rib_file
+
+    width, height, tile = 640, 480, 128
+
+    state = RiState()
+    parse_rib_file(RIB, state)
+    state.Format(width, height)
+    renderer = Renderer(state.scene, tile_size=tile)
+
+    # warmup: compile the tile kernel once (first tile)
+    warm = Renderer(state.scene, tile_size=tile)
+    warm.desc.options.width = tile
+    warm.desc.options.height = tile
+    warm.render_frame()
+
+    t0 = time.perf_counter()
+    renderer.render_frame()
+    dt = time.perf_counter() - t0
+
+    rays = renderer.stats.nrays
+    rays_per_sec = rays / dt
+    print(
+        json.dumps(
+            {
+                "metric": "rays_per_sec",
+                "value": rays_per_sec,
+                "unit": "rays/s",
+                "vs_baseline": rays_per_sec / REFERENCE_CPU_RAYS_PER_SEC,
+                "detail": {
+                    "scene": "ambient_occlusion.rib",
+                    "resolution": f"{width}x{height}",
+                    "pixel_samples": "3x3",
+                    "gather_rays": 64,
+                    "rays": rays,
+                    "seconds": dt,
+                    "backend": jax.devices()[0].platform,
+                    "device": str(jax.devices()[0]),
+                },
+            }
+        )
+    )
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())

@@ -1,0 +1,199 @@
+"""Stackless BVH traversal over ray wavefronts.
+
+TPU-first re-design of the reference's stack-based traversal
+(bvh_traverse, bvh.c:1093-1190): instead of a per-ray stack (which would
+need per-lane scatter/gather into scratch), every ray carries ONE integer
+— its current node in the depth-first order — and follows skip links:
+
+    bbox hit at inner node  -> node + 1        (descend to first child)
+    bbox miss               -> skip[node]      (jump over the subtree)
+    leaf (after tri tests)  -> skip[node]
+    node == n_nodes         -> done
+
+The whole wavefront advances in lock-step inside one `lax.while_loop`;
+node data is fetched with vectorized gathers.  Leaf triangle tests are a
+statically-unrolled loop of `leaf_size` masked Moller-Trumbore tests
+(bvh.c:731-791 semantics).  Early-out for occlusion rays flips the ray
+straight to done on first hit.
+
+Traversal-statistics counters (node visits, triangle tests) mirror
+ri_statistic_t (render.h:40-47) and are returned per call.
+"""
+
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+
+from lucille_tpu.accel.bruteforce import DET_EPS
+
+SLAB_EPS = 1.0e-6
+
+
+def _gather3(arr, idx):
+    return arr[idx]  # (B, 3) gather by node/tri index
+
+
+def _slab_test(bbmin, bbmax, org, inv_dir, t_best):
+    """Ray-AABB slab test (test_ray_aabb, bvh.c:870). Returns bool (B,)."""
+    t0 = (bbmin - org) * inv_dir
+    t1 = (bbmax - org) * inv_dir
+    tnear = jnp.max(jnp.minimum(t0, t1), axis=-1)
+    tfar = jnp.min(jnp.maximum(t0, t1), axis=-1)
+    return (tnear <= tfar + SLAB_EPS) & (tfar > 0.0) & (tnear < t_best)
+
+
+def _mt_single(org, dirn, v0, e1, e2):
+    """Moller-Trumbore for one gathered triangle per ray: all (B, 3)."""
+    p = jnp.cross(dirn, e2)
+    a = jnp.sum(e1 * p, axis=-1)
+    valid = jnp.abs(a) > DET_EPS
+    inva = jnp.where(valid, 1.0 / jnp.where(valid, a, 1.0), 0.0)
+    s = org - v0
+    q = jnp.cross(s, e1)
+    u = jnp.sum(s * p, axis=-1) * inva
+    v = jnp.sum(q * dirn, axis=-1) * inva
+    t = jnp.sum(e2 * q, axis=-1) * inva
+    hit = (
+        valid
+        & (u >= 0.0)
+        & (u <= 1.0)
+        & (v >= 0.0)
+        & (u + v <= 1.0)
+        & (t > 0.0)
+    )
+    return t, u, v, hit
+
+
+def bvh_closest_hit(scene, org, dirn, tmax=None, tmin: float = 0.0):
+    """Closest hit via skip-link traversal.  Same contract as
+    brute_closest_hit."""
+    B = org.shape[0]
+    n_nodes = scene.n_nodes
+    leaf = scene.leaf_size
+    DONE = n_nodes
+
+    inv_dir = 1.0 / jnp.where(jnp.abs(dirn) > 1e-20, dirn, 1e-20)
+
+    t0 = jnp.full((B,), jnp.inf if tmax is None else tmax, dtype=jnp.float32)
+    state = dict(
+        node=jnp.zeros((B,), jnp.int32),
+        t=t0,
+        u=jnp.zeros((B,), jnp.float32),
+        v=jnp.zeros((B,), jnp.float32),
+        tri=jnp.full((B,), -1, jnp.int32),
+        ntrav=jnp.zeros((), jnp.int32),
+        ntests=jnp.zeros((), jnp.int32),
+    )
+
+    def cond(s):
+        return jnp.any(s["node"] < DONE)
+
+    def body(s):
+        node = s["node"]
+        active = node < DONE
+        idx = jnp.minimum(node, DONE - 1)
+
+        bbmin = _gather3(scene.node_bbmin, idx)
+        bbmax = _gather3(scene.node_bbmax, idx)
+        skip = scene.node_skip[idx]
+        first = scene.node_first[idx]
+        count = scene.node_count[idx]
+
+        box_hit = active & _slab_test(bbmin, bbmax, org, inv_dir, s["t"])
+        is_leaf = count > 0
+        test_leaf = box_hit & is_leaf
+
+        t_best, u_best, v_best, tri_best = s["t"], s["u"], s["v"], s["tri"]
+        ntests = s["ntests"]
+        for k in range(leaf):
+            m = test_leaf & (k < count)
+            tri = jnp.minimum(first + k, scene.tri_v0.shape[0] - 1)
+            tv0 = _gather3(scene.tri_v0, tri)
+            te1 = _gather3(scene.tri_e1, tri)
+            te2 = _gather3(scene.tri_e2, tri)
+            t, u, v, hit = _mt_single(org, dirn, tv0, te1, te2)
+            better = m & hit & (t > tmin) & (t < t_best)
+            t_best = jnp.where(better, t, t_best)
+            u_best = jnp.where(better, u, u_best)
+            v_best = jnp.where(better, v, v_best)
+            tri_best = jnp.where(better, tri, tri_best)
+            ntests = ntests + jnp.sum(m.astype(jnp.int32))
+
+        descend = box_hit & ~is_leaf
+        nxt = jnp.where(descend, idx + 1, skip)
+        node = jnp.where(active, nxt, DONE)
+
+        return dict(
+            node=node,
+            t=t_best,
+            u=u_best,
+            v=v_best,
+            tri=tri_best,
+            ntrav=s["ntrav"] + jnp.sum(active.astype(jnp.int32)),
+            ntests=ntests,
+        )
+
+    s = jax.lax.while_loop(cond, body, state)
+    return {
+        "t": s["t"],
+        "u": s["u"],
+        "v": s["v"],
+        "tri": s["tri"],
+        "hit": s["tri"] >= 0,
+        "ntests": s["ntests"],
+        "ntrav": s["ntrav"],
+    }
+
+
+def bvh_any_hit(scene, org, dirn, tmax=None, tmin: float = 0.0):
+    """Occlusion query with first-hit early out."""
+    B = org.shape[0]
+    n_nodes = scene.n_nodes
+    leaf = scene.leaf_size
+    DONE = n_nodes
+
+    inv_dir = 1.0 / jnp.where(jnp.abs(dirn) > 1e-20, dirn, 1e-20)
+    tcap = jnp.full((B,), jnp.inf if tmax is None else tmax, dtype=jnp.float32)
+
+    state = dict(
+        node=jnp.zeros((B,), jnp.int32),
+        occluded=jnp.zeros((B,), bool),
+    )
+
+    def cond(s):
+        return jnp.any(s["node"] < DONE)
+
+    def body(s):
+        node = s["node"]
+        active = node < DONE
+        idx = jnp.minimum(node, DONE - 1)
+
+        bbmin = _gather3(scene.node_bbmin, idx)
+        bbmax = _gather3(scene.node_bbmax, idx)
+        skip = scene.node_skip[idx]
+        first = scene.node_first[idx]
+        count = scene.node_count[idx]
+
+        box_hit = active & _slab_test(bbmin, bbmax, org, inv_dir, tcap)
+        is_leaf = count > 0
+        test_leaf = box_hit & is_leaf
+
+        occluded = s["occluded"]
+        for k in range(leaf):
+            m = test_leaf & (k < count)
+            tri = jnp.minimum(first + k, scene.tri_v0.shape[0] - 1)
+            tv0 = _gather3(scene.tri_v0, tri)
+            te1 = _gather3(scene.tri_e1, tri)
+            te2 = _gather3(scene.tri_e2, tri)
+            t, _, _, hit = _mt_single(org, dirn, tv0, te1, te2)
+            occluded = occluded | (m & hit & (t > tmin) & (t < tcap))
+
+        descend = box_hit & ~is_leaf
+        nxt = jnp.where(descend, idx + 1, skip)
+        # early out: occluded rays are done
+        node = jnp.where(active & ~occluded, nxt, DONE)
+        return dict(node=node, occluded=occluded)
+
+    s = jax.lax.while_loop(cond, body, state)
+    return s["occluded"]

@@ -1,0 +1,150 @@
+"""Command-line renderer: the `lsh` equivalent.
+
+Mirrors the reference front-end (src/lsh/main.c:420-434):
+
+    python -m lucille_tpu.cli [options] scene.rib
+
+    --pixelsamples N   override PixelSamples (main.c:298-306)
+    --maxraydepth N    override max ray depth
+    --output FILE      override the display name
+    --gather-rays N    override AO/final-gather ray count
+    --tile N           tile (bucket) size, default 64 (render.c:197 uses 32)
+    --order O          spiral|scanline|zorder|hilbert (render.h:36-38)
+    --accel A          bvh|bruteforce (Option "raytrace" "accel_method")
+    --debug --verbose  logging toggles (main.c:328-341)
+
+CLI overrides are applied at WorldBegin through the backdoor callback,
+exactly like the reference (backdoor.h:14-16, main.c:213-241).
+"""
+
+from __future__ import annotations
+
+import argparse
+import sys
+import time
+
+
+def build_argparser() -> argparse.ArgumentParser:
+    p = argparse.ArgumentParser(
+        prog="lucille-tpu",
+        description="TPU-native RenderMan-style renderer (lsh equivalent)",
+    )
+    p.add_argument("rib", help="RIB scene file (optionally gzip'd)")
+    p.add_argument("--output", "-o", help="override output file name")
+    p.add_argument("--pixelsamples", type=int, help="subpixel samples per axis")
+    p.add_argument("--maxraydepth", type=int, help="maximum ray depth")
+    p.add_argument("--gather-rays", type=int, help="AO/final gather rays")
+    p.add_argument("--tile", type=int, default=64, help="tile size (default 64)")
+    p.add_argument(
+        "--order",
+        default=None,
+        choices=["spiral", "scanline", "zorder", "hilbert"],
+        help="tile order (default spiral)",
+    )
+    p.add_argument("--accel", choices=["bvh", "bruteforce"], help="accel override")
+    p.add_argument("--nthreads", type=int, help="accepted for lsh compatibility")
+    p.add_argument("--width", type=int, help="override image width")
+    p.add_argument("--height", type=int, help="override image height")
+    p.add_argument("--debug", action="store_true")
+    p.add_argument("--verbose", "-v", action="store_true")
+    p.add_argument("--stats", action="store_true", help="print ray statistics")
+    return p
+
+
+def main(argv=None) -> int:
+    args = build_argparser().parse_args(argv)
+
+    from lucille_tpu.base.log import set_debug
+    from lucille_tpu.base.timer import get_timer
+    from lucille_tpu.display.drivers import get_display_driver
+    from lucille_tpu.render.renderer import Renderer
+    from lucille_tpu.ri.api import RiState
+    from lucille_tpu.rib.parser import parse_rib_file
+
+    if args.debug:
+        set_debug(True)
+
+    timer = get_timer()
+
+    def apply_overrides(state: RiState):
+        """Backdoor world_begin callback (main.c:213-241)."""
+        opt = state.options
+        if args.pixelsamples is not None:
+            state.PixelSamples(args.pixelsamples, args.pixelsamples)
+        if args.maxraydepth is not None:
+            opt.max_ray_depth = args.maxraydepth
+        if args.gather_rays is not None:
+            opt.gather_nsamples = args.gather_rays
+        if args.accel is not None:
+            opt.accel_method = args.accel
+        if args.order is not None:
+            opt.bucket_order = args.order
+        if args.width is not None or args.height is not None:
+            state.Format(args.width or opt.width, args.height or opt.height)
+        if args.output is not None:
+            disp = opt.current_display()
+            disp.name = args.output
+            if disp.driver == "framebuffer":
+                disp.driver = "file"
+        opt.tile_size = args.tile
+
+    state = RiState()
+    state.world_begin_cb = apply_overrides
+
+    timer.start("RIB parsing")
+    try:
+        parse_rib_file(args.rib, state)
+    except FileNotFoundError:
+        print(f"lucille-tpu: cannot open '{args.rib}'")
+        return 1
+    timer.end("RIB parsing")
+
+    if state.world_block == 0:
+        # RIB had no WorldBegin/WorldEnd (e.g. a shader-only snippet):
+        # nothing to render, mirroring lsh which simply exits cleanly.
+        return 0
+
+    desc = state.scene
+    opt = desc.options
+
+    renderer = Renderer(desc, tile_size=opt.tile_size)
+
+    drivers = []
+    for d in opt.displays or [None]:
+        if d is None:
+            drv = get_display_driver("framebuffer")
+            drv.open("untitled.hdr", opt.width, opt.height)
+        else:
+            drv = get_display_driver(d.driver)
+            drv.open(d.name, opt.width, opt.height)
+        drivers.append(drv)
+
+    last = [0.0]
+
+    def tile_cb(x0, y0, tile):
+        for drv in drivers:
+            drv.write(x0, y0, tile)
+
+    def progress_cb(frac):
+        for drv in drivers:
+            drv.progress(frac)
+        if args.verbose and time.time() - last[0] > 0.5:
+            last[0] = time.time()
+            print(f"\r[render] {frac * 100:5.1f}%", end="", flush=True)
+
+    image = renderer.render_frame(tile_cb=tile_cb, progress_cb=progress_cb)
+    del image
+    if args.verbose:
+        print()
+
+    for drv in drivers:
+        drv.close()
+
+    if args.stats or args.verbose:
+        print(renderer.stats.report())
+        print(timer.dump())
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())

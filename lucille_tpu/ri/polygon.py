@@ -5,15 +5,20 @@ Equivalent capability to the reference polygon geometry driver
 ``PointsGeneralPolygons`` parameter lists ("P", "N", "st", "Cs" and
 facevarying variants) become triangulated world-space geometry.
 
-Semantics preserved from the reference:
+Semantics preserved from the reference (including its asymmetry):
 
 - vertices are transformed by ``om = CTM @ orientation`` where orientation
   flips z for RH scenes (polygon.c:84-94); normals by the inverse-transpose
   (polygon.c:183).
-- faces are fan-triangulated; winding is reversed for RH scenes
-  (polygon.c:348-367).
-- two-sided geometry (Sides 2) duplicates the fan with flipped winding and
-  negated normals (polygon.c:368-381).
+- ``Polygon`` is fan-triangulated with winding reversed for RH scenes
+  (ri_polygon_parse, polygon.c:348-367).
+- ``PointsPolygons`` uses the FIXED corner orders (0,1,2) for triangles and
+  (0,1,2)+(0,2,3) for quads with NO orientation-dependent reversal, and
+  faces with more than 4 vertices are skipped with a one-time warning
+  (ri_pointspolygons_parse, polygon.c:534-590) — this asymmetry is what
+  makes the bundled AO scene's ground plane face up.
+- two-sided geometry (Sides 2) duplicates faces with reversed winding
+  (polygon.c:368-381, 596-619).
 - malformed input (index shortage, zero polygons — the ribparse regression
   scenes) is skipped with a warning instead of crashing.
 """
@@ -58,7 +63,11 @@ def build_polygon(
     rh: bool,
     attrs: AttributeState,
 ) -> GeomData | None:
-    """RiPolygon: one convex polygon, nverts implied by len(P)."""
+    """RiPolygon: one convex polygon, nverts implied by len(P).
+
+    Uses the RH-reversed triangle fan of ri_polygon_parse
+    (polygon.c:348-367), unlike PointsPolygons (see module docstring).
+    """
     P = _param_array(params, "P", width=3)
     if P is None or len(P) < 3:
         log(LOG_WARN, "Polygon with no/insufficient \"P\"; skipping")
@@ -71,6 +80,7 @@ def build_polygon(
         ctm,
         rh,
         attrs,
+        winding="rh_fan",
     )
 
 
@@ -81,8 +91,15 @@ def build_points_polygons(
     ctm: np.ndarray,
     rh: bool,
     attrs: AttributeState,
+    winding: str = "fixed",
 ) -> GeomData | None:
-    """RiPointsPolygons → GeomData (world-space, fan-triangulated)."""
+    """RiPointsPolygons → GeomData (world-space, triangulated).
+
+    winding="fixed": reference ri_pointspolygons_parse — (0,1,2) for
+    triangles, (0,1,2)+(0,2,3) for quads, faces >4 verts skipped.
+    winding="rh_fan": reference ri_polygon_parse — general fan, reversed
+    for RH scenes (used by RiPolygon and the subdivision tessellator).
+    """
     P = _param_array(params, "P", width=3)
     if P is None:
         log(LOG_WARN, "PointsPolygons without \"P\"; skipping")
@@ -130,13 +147,32 @@ def build_points_polygons(
     tri_list = []
     tri_st = [] if st_fv is not None else None
     offset = 0
+    warned_ngon = False
+    _FIXED = {
+        3: np.array([[0, 1, 2]], dtype=np.int64),
+        4: np.array([[0, 1, 2], [0, 2, 3]], dtype=np.int64),
+    }
     for nv in nvertices:
         nv = int(nv)
         if nv < 3:
             offset += nv
             continue
+        if winding == "fixed":
+            fan = _FIXED.get(nv)
+            if fan is None:
+                # >4-gon: skipped (polygon.c:559-563), warn once
+                if not warned_ngon:
+                    log(
+                        LOG_WARN,
+                        "PointsPolygons supports only triangle or quad faces; skipping %d-gon",
+                        nv,
+                    )
+                    warned_ngon = True
+                offset += nv
+                continue
+        else:
+            fan = _fan_indices(nv, rh)
         face_idx = indices[offset : offset + nv]
-        fan = _fan_indices(nv, rh)
         tri_list.append(face_idx[fan])
         if tri_st is not None and offset + nv <= len(st_fv):
             face_st = st_fv[offset : offset + nv]

@@ -1,0 +1,224 @@
+"""Scene compiler: SceneDescription → SceneArrays.
+
+The TPU-native equivalent of ri_scene_setup + ri_bvh_build's
+create_triangle_list (src/render/scene.c:85-98, bvh.c:1737): flattens all
+geometry into triangle SoA, pre-gathers per-corner shading attributes,
+builds the material table, computes the scene bbox and a scene-relative
+epsilon, and (by default) builds the BVH.
+
+Padding: triangle count is padded to a multiple of PAD_MULTIPLE with
+degenerate (all-zero) triangles whose Moller-Trumbore determinant is 0 —
+they can never be hit, so no masking is needed in the intersector.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+
+from lucille_tpu.base.log import LOG_INFO, log
+from lucille_tpu.base.timer import get_timer
+from lucille_tpu.ri.types import ACCEL_BVH, SceneDescription
+from lucille_tpu.scene.types import SceneArrays
+
+PAD_MULTIPLE = 256  # keeps brute-force chunks and BVH leaves lane-aligned
+EPS_SCALE = 1.0e-4  # scene-relative ray-offset epsilon (f32-safe)
+
+
+def compile_scene(
+    desc: SceneDescription,
+    build_bvh: bool | None = None,
+    leaf_size: int = 8,
+) -> SceneArrays:
+    geoms = [g for g in desc.geoms if g.ntriangles > 0]
+    n_geoms = max(1, len(geoms))
+
+    v0s, v1s, v2s = [], [], []
+    n0s, n1s, n2s = [], [], []
+    st0s, st1s, st2s = [], [], []
+    c0s, c1s, c2s = [], [], []
+    gids = []
+
+    for gi, g in enumerate(geoms):
+        idx = g.indices  # (F, 3)
+        P = g.positions
+        a, b, c = P[idx[:, 0]], P[idx[:, 1]], P[idx[:, 2]]
+        v0s.append(a)
+        v1s.append(b)
+        v2s.append(c)
+        gids.append(np.full(len(idx), gi, dtype=np.int32))
+
+        if g.normals is not None:
+            Nv = g.normals
+            n0s.append(Nv[idx[:, 0]])
+            n1s.append(Nv[idx[:, 1]])
+            n2s.append(Nv[idx[:, 2]])
+        else:
+            # geometric normal (ri_normal_of_triangle, geometric.c:21-33)
+            ng = np.cross(b - a, c - a)
+            nrm = np.linalg.norm(ng, axis=-1, keepdims=True)
+            ng = ng / np.maximum(nrm, 1e-20)
+            n0s.append(ng)
+            n1s.append(ng)
+            n2s.append(ng)
+
+        if g.facevarying_st is not None:
+            st0s.append(g.facevarying_st[:, 0])
+            st1s.append(g.facevarying_st[:, 1])
+            st2s.append(g.facevarying_st[:, 2])
+        elif g.st is not None:
+            st0s.append(g.st[idx[:, 0]])
+            st1s.append(g.st[idx[:, 1]])
+            st2s.append(g.st[idx[:, 2]])
+        else:
+            z = np.zeros((len(idx), 2))
+            st0s.append(z)
+            st1s.append(z)
+            st2s.append(z)
+
+        if g.colors is not None:
+            C = g.colors
+            c0s.append(C[idx[:, 0]])
+            c1s.append(C[idx[:, 1]])
+            c2s.append(C[idx[:, 2]])
+        else:
+            o = np.ones((len(idx), 3))
+            c0s.append(o)
+            c1s.append(o)
+            c2s.append(o)
+
+    if v0s:
+        v0 = np.concatenate(v0s)
+        v1 = np.concatenate(v1s)
+        v2 = np.concatenate(v2s)
+        geom_id = np.concatenate(gids)
+        n0 = np.concatenate(n0s)
+        n1 = np.concatenate(n1s)
+        n2 = np.concatenate(n2s)
+        st0 = np.concatenate(st0s)
+        st1 = np.concatenate(st1s)
+        st2 = np.concatenate(st2s)
+        c0 = np.concatenate(c0s)
+        c1 = np.concatenate(c1s)
+        c2 = np.concatenate(c2s)
+    else:
+        v0 = v1 = v2 = np.zeros((0, 3))
+        geom_id = np.zeros(0, dtype=np.int32)
+        n0 = n1 = n2 = np.zeros((0, 3))
+        st0 = st1 = st2 = np.zeros((0, 2))
+        c0 = c1 = c2 = np.zeros((0, 3))
+
+    n_tris = len(v0)
+
+    # scene bbox (calc_scene_bbox, scene.c:182) + margin (bvh.c:1698)
+    if n_tris:
+        allv = np.concatenate([v0, v1, v2])
+        bbmin = allv.min(axis=0)
+        bbmax = allv.max(axis=0)
+    else:
+        bbmin = np.zeros(3)
+        bbmax = np.ones(3)
+    diag = float(np.linalg.norm(bbmax - bbmin))
+    eps = max(diag, 1.0) * EPS_SCALE
+
+    # ---------------- BVH ------------------------------------------------
+    if build_bvh is None:
+        build_bvh = desc.options.accel_method == ACCEL_BVH and n_tris > 0
+    if build_bvh and n_tris > 0:
+        from lucille_tpu.accel.bvh import build_bvh as _build
+
+        timer = get_timer()
+        timer.start("BVH Construction")
+        bvh = _build(v0, v1, v2, leaf_size=leaf_size)
+        dt = timer.end("BVH Construction")
+        log(
+            LOG_INFO,
+            "BVH built: %d tris, %d nodes, %.3f sec",
+            n_tris,
+            len(bvh.skip),
+            dt,
+        )
+        order = bvh.order
+        v0, v1, v2 = v0[order], v1[order], v2[order]
+        geom_id = geom_id[order]
+        n0, n1, n2 = n0[order], n1[order], n2[order]
+        st0, st1, st2 = st0[order], st1[order], st2[order]
+        c0, c1, c2 = c0[order], c1[order], c2[order]
+        node_bbmin = bvh.bbmin
+        node_bbmax = bvh.bbmax
+        node_skip = bvh.skip
+        node_first = bvh.first
+        node_count = bvh.count
+        n_nodes = len(bvh.skip)
+        accel = "bvh"
+    else:
+        node_bbmin = np.zeros((1, 3))
+        node_bbmax = np.zeros((1, 3))
+        node_skip = np.ones(1, dtype=np.int32)
+        node_first = np.zeros(1, dtype=np.int32)
+        node_count = np.zeros(1, dtype=np.int32)
+        n_nodes = 0
+        accel = "bruteforce"
+
+    # ---------------- padding -------------------------------------------
+    n_pad = max(PAD_MULTIPLE, -(-max(n_tris, 1) // PAD_MULTIPLE) * PAD_MULTIPLE)
+    pad = n_pad - n_tris
+
+    def _pad(a, width):
+        if pad == 0 and len(a) == n_pad:
+            return a
+        shape = (pad,) + a.shape[1:] if a.ndim > 1 else (pad,)
+        filler = np.zeros(shape, dtype=a.dtype)
+        return np.concatenate([a, filler])
+
+    e1 = v1 - v0
+    e2 = v2 - v0
+
+    # ---------------- materials ------------------------------------------
+    mat_kd = np.ones(n_geoms)
+    mat_ks = np.zeros(n_geoms)
+    mat_color = np.ones((n_geoms, 3))
+    mat_texture = np.full(n_geoms, -1, dtype=np.int32)
+    mat_emission = np.zeros((n_geoms, 3))
+    for gi, g in enumerate(geoms):
+        a = g.attrs
+        mat_kd[gi] = a.material.kd
+        mat_ks[gi] = a.material.ks
+        mat_color[gi] = np.asarray(a.color)
+        if a.area_light_index >= 0 and a.area_light_index < len(desc.lights):
+            li = desc.lights[a.area_light_index]
+            mat_emission[gi] = np.asarray(li.color) * li.intensity
+
+    return SceneArrays(
+        tri_v0=_pad(v0, 3),
+        tri_e1=_pad(e1, 3),
+        tri_e2=_pad(e2, 3),
+        geom_id=_pad(geom_id, 1),
+        n0=_pad(n0, 3),
+        n1=_pad(n1, 3),
+        n2=_pad(n2, 3),
+        st0=_pad(st0, 2),
+        st1=_pad(st1, 2),
+        st2=_pad(st2, 2),
+        c0=_pad(c0, 3),
+        c1=_pad(c1, 3),
+        c2=_pad(c2, 3),
+        mat_kd=mat_kd,
+        mat_ks=mat_ks,
+        mat_color=mat_color,
+        mat_texture=mat_texture,
+        mat_emission=mat_emission,
+        node_bbmin=node_bbmin,
+        node_bbmax=node_bbmax,
+        node_skip=node_skip,
+        node_first=node_first,
+        node_count=node_count,
+        bbox_min=bbmin,
+        bbox_max=bbmax,
+        eps=np.float32(eps),
+        n_tris=n_tris,
+        n_pad=n_pad,
+        n_geoms=n_geoms,
+        n_nodes=n_nodes,
+        leaf_size=leaf_size,
+        accel=accel,
+    )

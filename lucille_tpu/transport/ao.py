@@ -1,0 +1,141 @@
+"""Ambient-occlusion integrator.
+
+Faithful to the reference's hardwired integrator
+(src/transport/ambientocclusion.c, called from render.c:803):
+
+- eye ray -> closest hit;
+- stratified cosine-importance hemisphere sampling over an
+  ``ntheta x nphi`` grid (ambientocclusion.c:85-110):
+  ``cos_theta = sqrt(z0)``, ``phi = 2*pi*z1``, local direction
+  ``(cos(phi)cos_t, sin(phi)cos_t, sqrt(1-cos_t^2))`` rotated by the
+  ri_ortho_basis frame (reflection.c:312-331);
+- shading point offset along Ns by an epsilon — scene-relative here,
+  fixing the reference's own FIXME (ambientocclusion.c:68-70);
+- ``Lo = (N - occluded)/N`` (ambientocclusion.c:135-150); misses return
+  black; a material texture modulates the result (ambientocclusion.c:393).
+
+Wavefront structure: the ``ntheta*nphi`` strata run as a `lax.scan`, each
+step tracing ONE occlusion ray per eye-ray lane — the whole image tile
+advances through the hemisphere together, keeping peak memory at one
+wavefront while XLA pipelines the Moller-Trumbore chunks.
+
+Randomness: threefry keys folded per (scan step); the per-thread MT19937
+streams of the reference (random.c:211) are matched at the distribution
+level, not bitwise (SURVEY.md "Hard parts").
+"""
+
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+
+from lucille_tpu.accel.dispatch import any_hit, closest_hit
+
+
+def ortho_basis(n):
+    """Per-ray orthonormal basis from normal (ri_ortho_basis,
+    reflection.c:312-331): pick the first axis where |n_i| < 0.6 as the
+    provisional up vector, else x."""
+    ax = jnp.abs(n)
+    inside = ax < 0.6
+    # first True index among x,y,z else 0 (reference falls back to i=0)
+    pick = jnp.where(
+        inside[..., 0],
+        0,
+        jnp.where(inside[..., 1], 1, jnp.where(inside[..., 2], 2, 0)),
+    )
+    up = jax.nn.one_hot(pick, 3, dtype=n.dtype)
+    b0 = jnp.cross(up, n)
+    b0 = b0 / jnp.maximum(
+        jnp.linalg.norm(b0, axis=-1, keepdims=True), 1e-20
+    )
+    b1 = jnp.cross(n, b0)
+    b1 = b1 / jnp.maximum(
+        jnp.linalg.norm(b1, axis=-1, keepdims=True), 1e-20
+    )
+    return b0, b1, n
+
+
+def _interp_normal(scene, res):
+    """Shading normal at hits: barycentric vertex-normal interpolation
+    (ri_intersection_state_build, intersection_state.c:152-190)."""
+    tri = jnp.maximum(res["tri"], 0)
+    u = res["u"][..., None]
+    v = res["v"][..., None]
+    n0 = scene.n0[tri]
+    n1 = scene.n1[tri]
+    n2 = scene.n2[tri]
+    n = (1.0 - u - v) * n0 + u * n1 + v * n2
+    return n / jnp.maximum(jnp.linalg.norm(n, axis=-1, keepdims=True), 1e-20)
+
+
+def ao_radiance(
+    scene,
+    org,
+    dirn,
+    key,
+    ntheta: int,
+    nphi: int,
+    background: float = 0.0,
+):
+    """AO radiance for a wavefront of eye rays.
+
+    org, dirn: (B, 3) float32.  Returns (radiance (B, 3), aux dict with
+    hit mask + ray/test counters).
+    """
+    B = org.shape[0]
+    res = closest_hit(scene, org, dirn)
+    hit = res["hit"]
+    t = jnp.where(hit, res["t"], 0.0)
+    P = org + t[..., None] * dirn
+    Ns = _interp_normal(scene, res)
+
+    b0, b1, b2 = ortho_basis(Ns)
+    P_off = P + Ns * scene.eps  # eps-offset origin (ambientocclusion.c:68)
+
+    nsamples = ntheta * nphi
+    strata = jnp.arange(nsamples, dtype=jnp.int32)
+
+    def step(occ_count, si):
+        # stratum (i, j) from flat index: i = theta index, j = phi index
+        i = (si % ntheta).astype(jnp.float32)
+        j = (si // ntheta).astype(jnp.float32)
+        k = jax.random.fold_in(key, si)
+        ur = jax.random.uniform(k, (B, 2), dtype=jnp.float32)
+        z0 = (i + ur[:, 0]) / ntheta
+        z1 = (j + ur[:, 1]) / nphi
+        cos_t = jnp.sqrt(z0)
+        phi = 2.0 * jnp.pi * z1
+        lx = jnp.cos(phi) * cos_t
+        ly = jnp.sin(phi) * cos_t
+        lz = jnp.sqrt(jnp.maximum(1.0 - cos_t * cos_t, 0.0))
+        wdir = (
+            lx[..., None] * b0 + ly[..., None] * b1 + lz[..., None] * b2
+        )
+        occluded = any_hit(scene, P_off, wdir)
+        return occ_count + (occluded & hit).astype(jnp.float32), None
+
+    occ, _ = jax.lax.scan(step, jnp.zeros((B,), jnp.float32), strata)
+
+    lo = (nsamples - occ) / nsamples  # m = 1.0 (ambientocclusion.c:146)
+    radiance = jnp.where(hit, lo, background)[..., None] * jnp.ones(
+        (1, 3), jnp.float32
+    )
+
+    # material texture modulation (ambientocclusion.c:393-400) is applied
+    # by the renderer once textures are resident; vertex color Cs
+    # modulation comes free here:
+    tri = jnp.maximum(res["tri"], 0)
+    u = res["u"][..., None]
+    v = res["v"][..., None]
+    cs = (1.0 - u - v) * scene.c0[tri] + u * scene.c1[tri] + v * scene.c2[tri]
+    radiance = radiance * jnp.where(hit[..., None], cs, 1.0)
+
+    aux = {
+        "hit": hit,
+        "nrays": B * (1 + nsamples),
+        "ntests": res["ntests"],
+        "ntrav": res["ntrav"],
+        "t": res["t"],
+    }
+    return radiance, aux
