@@ -20,6 +20,13 @@ DET_EPS = 1.0e-14  # reference triangle_isect eps (bvh.c:746)
 CHUNK = 256  # triangles per scan step; must divide the padded count
 
 
+def _tcap(B, tmax):
+    """Per-ray t ceiling: scalar, (B,) array, or None (= +inf)."""
+    if tmax is None:
+        return jnp.full((B,), jnp.inf, dtype=jnp.float32)
+    return jnp.broadcast_to(jnp.asarray(tmax, jnp.float32), (B,))
+
+
 def _mt_chunk(org, dirn, v0, e1, e2, t_best):
     """Moller-Trumbore for a (B, C) grid.
 
@@ -65,7 +72,7 @@ def brute_closest_hit(scene, org, dirn, tmax=None, tmin: float = 0.0):
     e1 = scene.tri_e1.reshape(nchunks, CHUNK, 3)
     e2 = scene.tri_e2.reshape(nchunks, CHUNK, 3)
 
-    t0 = jnp.full((B,), jnp.inf if tmax is None else tmax, dtype=jnp.float32)
+    t0 = _tcap(B, tmax)
     init = (
         t0,
         jnp.zeros((B,), jnp.float32),  # u
@@ -113,7 +120,7 @@ def brute_any_hit(scene, org, dirn, tmax=None, tmin: float = 0.0):
     e1 = scene.tri_e1.reshape(nchunks, CHUNK, 3)
     e2 = scene.tri_e2.reshape(nchunks, CHUNK, 3)
 
-    tcap = jnp.full((B,), jnp.inf if tmax is None else tmax, dtype=jnp.float32)
+    tcap = _tcap(B, tmax)
 
     def step(occluded, chunk):
         cv0, ce1, ce2 = chunk

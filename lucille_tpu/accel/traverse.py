@@ -25,7 +25,7 @@ from __future__ import annotations
 import jax
 import jax.numpy as jnp
 
-from lucille_tpu.accel.bruteforce import DET_EPS
+from lucille_tpu.accel.bruteforce import DET_EPS, _tcap
 
 SLAB_EPS = 1.0e-6
 
@@ -75,15 +75,21 @@ def bvh_closest_hit(scene, org, dirn, tmax=None, tmin: float = 0.0):
 
     inv_dir = 1.0 / jnp.where(jnp.abs(dirn) > 1e-20, dirn, 1e-20)
 
-    t0 = jnp.full((B,), jnp.inf if tmax is None else tmax, dtype=jnp.float32)
+    # Derive every carry array from the ray data so the while_loop carry
+    # keeps the rays' varying-axis type under shard_map (a literal
+    # jnp.zeros carry is 'replicated' and trips the vma check; note
+    # zeros_like drops the vma too — `x * 0` keeps it).
+    z = org[..., 0] * 0.0
+    zi = z.astype(jnp.int32)
+    t0 = _tcap(B, tmax) + z
     state = dict(
-        node=jnp.zeros((B,), jnp.int32),
+        node=zi,
         t=t0,
-        u=jnp.zeros((B,), jnp.float32),
-        v=jnp.zeros((B,), jnp.float32),
-        tri=jnp.full((B,), -1, jnp.int32),
-        ntrav=jnp.zeros((), jnp.int32),
-        ntests=jnp.zeros((), jnp.int32),
+        u=z,
+        v=z,
+        tri=zi - 1,
+        ntrav=jnp.sum(zi),
+        ntests=jnp.sum(zi),
     )
 
     def cond(s):
@@ -154,11 +160,12 @@ def bvh_any_hit(scene, org, dirn, tmax=None, tmin: float = 0.0):
     DONE = n_nodes
 
     inv_dir = 1.0 / jnp.where(jnp.abs(dirn) > 1e-20, dirn, 1e-20)
-    tcap = jnp.full((B,), jnp.inf if tmax is None else tmax, dtype=jnp.float32)
+    z = org[..., 0] * 0.0
+    tcap = _tcap(B, tmax) + z
 
     state = dict(
-        node=jnp.zeros((B,), jnp.int32),
-        occluded=jnp.zeros((B,), bool),
+        node=z.astype(jnp.int32),
+        occluded=z > 1.0,
     )
 
     def cond(s):

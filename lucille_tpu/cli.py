@@ -29,8 +29,15 @@ def build_argparser() -> argparse.ArgumentParser:
         prog="lucille-tpu",
         description="TPU-native RenderMan-style renderer (lsh equivalent)",
     )
-    p.add_argument("rib", help="RIB scene file (optionally gzip'd)")
+    p.add_argument(
+        "rib", nargs="?", default=None,
+        help="RIB scene file (optionally gzip'd); omit for the interactive shell",
+    )
     p.add_argument("--output", "-o", help="override output file name")
+    p.add_argument(
+        "--display",
+        help="override the display driver (file|framebuffer|socket|null)",
+    )
     p.add_argument("--pixelsamples", type=int, help="subpixel samples per axis")
     p.add_argument("--maxraydepth", type=int, help="maximum ray depth")
     p.add_argument("--gather-rays", type=int, help="AO/final gather rays")
@@ -42,6 +49,11 @@ def build_argparser() -> argparse.ArgumentParser:
         help="tile order (default spiral)",
     )
     p.add_argument("--accel", choices=["bvh", "bruteforce"], help="accel override")
+    p.add_argument(
+        "--method",
+        choices=["ao", "whitted", "pathtrace", "dirtmap"],
+        help="integrator override (Option \"renderer\" \"method\")",
+    )
     p.add_argument("--nthreads", type=int, help="accepted for lsh compatibility")
     p.add_argument("--width", type=int, help="override image width")
     p.add_argument("--height", type=int, help="override image height")
@@ -64,6 +76,13 @@ def main(argv=None) -> int:
     if args.debug:
         set_debug(True)
 
+    if args.rib is None:
+        # no scene: drop into the interactive shell (lsh.c behavior)
+        from lucille_tpu.shell import Shell
+
+        Shell().run()
+        return 0
+
     timer = get_timer()
 
     def apply_overrides(state: RiState):
@@ -77,6 +96,8 @@ def main(argv=None) -> int:
             opt.gather_nsamples = args.gather_rays
         if args.accel is not None:
             opt.accel_method = args.accel
+        if args.method is not None:
+            opt.render_method = args.method
         if args.order is not None:
             opt.bucket_order = args.order
         if args.width is not None or args.height is not None:
@@ -86,6 +107,8 @@ def main(argv=None) -> int:
             disp.name = args.output
             if disp.driver == "framebuffer":
                 disp.driver = "file"
+        if args.display is not None:
+            opt.current_display().driver = args.display
         opt.tile_size = args.tile
 
     state = RiState()

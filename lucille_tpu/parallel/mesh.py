@@ -53,7 +53,7 @@ def sharded_tile_renderer(
     origins (rendered but discarded — the static-shape analog of empty
     buckets).
     """
-    from jax.experimental.shard_map import shard_map
+    from jax import shard_map
 
     from lucille_tpu.transport.ao import ao_radiance
 
@@ -85,7 +85,10 @@ def sharded_tile_renderer(
         mesh=mesh,
         in_specs=(P(), P(axis), P(), P(axis)),
         out_specs=(P(axis), P()),
-        check_rep=False,
+        # the traversal while_loop's carry mixes replicated literals with
+        # varying ray state; skip the vma type check (the data flow is
+        # correct: every tile is independent, counters psum at the end)
+        check_vma=False,
     )
     def work(scene, origins, jitter, keys):
         def body(carry, inp):

@@ -4,10 +4,15 @@ The TPU-native equivalent of ri_render_frame (src/render/render.c:317-369)
 and its bucket machinery (render.c:582-710, 1043-1207):
 
 - the image is cut into fixed-size tiles (static shapes -> ONE compiled
-  kernel for every tile);
+  kernel reused for every tile; `frame_mode` renders the whole padded
+  frame in a single device call to amortize dispatch latency on remote
+  TPU links);
 - per tile, the kernel generates the deterministic sigma-Hammersley
-  subpixel rays (render.c:830-917), runs the integrator wavefront, and
-  box-filters subsamples into pixels (render.c:715-823);
+  subpixel rays (render.c:830-917), runs the selected integrator
+  wavefront (AO by default, matching the reference's hardwired call at
+  render.c:803 — but Whitted/pathtrace/dirtmap are selectable via
+  Option "renderer" "method"), and reconstructs pixels with the RIB
+  PixelFilter as constant per-subsample weights (filter.c:36);
 - tiles run in spiral order by default for progressive display
   (render.c:198), streaming each finished tile to the display drivers —
   the mutex-guarded bucket_write of the reference becomes a plain host
@@ -19,69 +24,81 @@ and its bucket machinery (render.c:582-710, 1043-1207):
 from __future__ import annotations
 
 from dataclasses import dataclass, field
-from functools import partial
 from typing import Callable, Optional
 
 import numpy as np
 
-from lucille_tpu.base.log import LOG_DEBUG, LOG_INFO, log
+from lucille_tpu.base.log import LOG_INFO, log
 from lucille_tpu.base.stats import RenderStats
 from lucille_tpu.base.timer import get_timer
+from lucille_tpu.render.film import subsample_filter_table
 from lucille_tpu.render.tiles import tile_list
 from lucille_tpu.sampling.hammersley import subpixel_samples
 from lucille_tpu.scene.compile import compile_scene
 
 
-@partial(
-    __import__("jax").jit,
-    static_argnames=("tile", "xsamples", "ysamples", "ntheta", "nphi", "camera"),
-)
-def _render_tile_kernel(
-    scene,
+def build_tile_kernel(
     camera,
-    x0,
-    y0,
-    jitter,
-    key,
-    tile: int,
+    lights,
+    method: str,
+    tile_w: int,
+    tile_h: int,
     xsamples: int,
     ysamples: int,
-    ntheta: int,
-    nphi: int,
+    gather_nsamples: int,
+    max_depth: int,
+    bgcolor=(0.0, 0.0, 0.0),
 ):
-    """Render one tile: returns (tile, tile, 3) radiance + aux counters.
-
-    `camera` is passed as a static arg (hashable dataclass captured by
-    closure semantics would retrace anyway; the camera is fixed per frame).
-    """
+    """Compile-once tile kernel: (scene, x0, y0, jitter, weights, key) ->
+    ((tile_h, tile_w, 3) radiance, aux).  Per-frame constants (camera,
+    lights, integrator) are baked into the closure."""
     import jax
     import jax.numpy as jnp
 
-    from lucille_tpu.transport.ao import ao_radiance
+    from lucille_tpu.transport.dispatch import get_integrator
 
+    integrator = get_integrator(method)
     S = xsamples * ysamples
-    xs = jnp.arange(tile, dtype=jnp.float32)
-    ys = jnp.arange(tile, dtype=jnp.float32)
-    px = x0.astype(jnp.float32) + xs[None, :, None]  # (1, tile, 1)
-    py = y0.astype(jnp.float32) + ys[:, None, None]  # (tile, 1, 1)
-    # subpixel jitter (S, 2), deterministic (sample_subpixel semantics)
-    jx = jitter[:, 0][None, None, :]
-    jy = jitter[:, 1][None, None, :]
-    shape = (tile, tile, S)
-    fx = jnp.broadcast_to(px + jx, shape).reshape(-1)  # (tile*tile*S,)
-    fy = jnp.broadcast_to(py + jy, shape).reshape(-1)
 
-    org, dirn = camera.generate_rays(fx, fy)
-    radiance, aux = ao_radiance(scene, org, dirn, key, ntheta, nphi)
-    img = radiance.reshape(tile, tile, S, 3).mean(axis=2)
-    return img, {
-        "ntests": aux["ntests"],
-        "ntrav": aux["ntrav"],
-        # rays counted the reference's way (raytrace.c increments per
-        # ri_raytrace call): eye rays + hemisphere rays for HITS only
-        "nrays": fx.shape[0] + jnp.sum(aux["hit"].astype(jnp.int32)) * (ntheta * nphi),
-        "hit": aux["hit"].reshape(tile, tile, S).any(axis=2),
-    }
+    @jax.jit
+    def kernel(scene, x0, y0, jitter, weights, key):
+        xs = jnp.arange(tile_w, dtype=jnp.float32)
+        ys = jnp.arange(tile_h, dtype=jnp.float32)
+        px = x0.astype(jnp.float32) + xs[None, :, None]  # (1, w, 1)
+        py = y0.astype(jnp.float32) + ys[:, None, None]  # (h, 1, 1)
+        jx = jitter[:, 0][None, None, :]
+        jy = jitter[:, 1][None, None, :]
+        shape = (tile_h, tile_w, S)
+        fx = jnp.broadcast_to(px + jx, shape).reshape(-1)
+        fy = jnp.broadcast_to(py + jy, shape).reshape(-1)
+
+        org, dirn = camera.generate_rays(fx, fy)
+        radiance, aux = integrator(
+            scene,
+            lights,
+            org,
+            dirn,
+            key,
+            gather_nsamples=gather_nsamples,
+            max_depth=max_depth,
+            bgcolor=bgcolor,
+        )
+        # pixel-filter reconstruction over subsamples (render.c:715-823
+        # box-averages; RIB PixelFilter generalizes via constant weights)
+        r = radiance.reshape(tile_h, tile_w, S, 3)
+        img = jnp.sum(r * weights[None, None, :, None], axis=2)
+        nrays = jnp.asarray(aux.get("nrays", fx.shape[0]), jnp.int32)
+        hitmask = aux["hit"].reshape(tile_h, tile_w, S)
+        if "ntests" not in aux:
+            aux = dict(aux, ntests=0, ntrav=0)
+        return img, {
+            "ntests": jnp.asarray(aux.get("ntests", 0), jnp.int32),
+            "ntrav": jnp.asarray(aux.get("ntrav", 0), jnp.int32),
+            "nrays": nrays,
+            "hit": hitmask.any(axis=2),
+        }
+
+    return kernel
 
 
 @dataclass
@@ -90,6 +107,7 @@ class Renderer:
 
     desc: "SceneDescription"
     tile_size: int = 64
+    frame_mode: bool = False  # render the whole frame in one device call
     stats: RenderStats = field(default_factory=RenderStats)
 
     def __post_init__(self):
@@ -98,8 +116,32 @@ class Renderer:
         self.scene = compile_scene(self.desc).device_put()
         timer.end("Scene compile")
         self.camera = self.desc.camera
-        # freeze the camera for static-arg hashing
         self._frozen_camera = _FrozenCamera.from_camera(self.camera)
+        from lucille_tpu.lights.tables import build_light_tables
+
+        self.lights = build_light_tables(self.desc)
+        self._kernel = None
+        self._kernel_shape = None
+
+    def _get_kernel(self, tile_w, tile_h, xsamples, ysamples):
+        opt = self.desc.options
+        shape = (tile_w, tile_h, xsamples, ysamples, opt.render_method,
+                 opt.gather_nsamples, opt.max_ray_depth)
+        if self._kernel_shape != shape:
+            self._kernel = build_tile_kernel(
+                self._frozen_camera,
+                self.lights,
+                opt.render_method,
+                tile_w,
+                tile_h,
+                xsamples,
+                ysamples,
+                opt.gather_nsamples,
+                opt.max_ray_depth,
+                opt.bgcolor,
+            )
+            self._kernel_shape = shape
+        return self._kernel
 
     def render_frame(
         self,
@@ -107,11 +149,8 @@ class Renderer:
         progress_cb: Optional[Callable] = None,
         key=None,
     ) -> np.ndarray:
-        """Render the full frame; returns (H, W, 3) float32.
-
-        tile_cb(x0, y0, tile_np) streams finished tiles (bucket_write
-        equivalent, render.c:1152-1158).
-        """
+        """Render the full frame; returns (H, W, 3) float32 in raster order
+        (row 0 = raster y 0; the hdr file driver flips, drivers.py)."""
         import jax
         import jax.numpy as jnp
 
@@ -120,45 +159,44 @@ class Renderer:
         disp = opt.current_display()
         xsamples = int(disp.sampling_rates[0])
         ysamples = int(disp.sampling_rates[1])
-        nsamples = opt.gather_nsamples
-        ntheta = max(1, int(np.sqrt(nsamples)))
-        nphi = ntheta  # reference: evenly split (ambientocclusion.c:380)
 
         jitter_np, _inst = subpixel_samples(xsamples, ysamples)
         jitter = jnp.asarray(jitter_np, dtype=jnp.float32)
+        weights = jnp.asarray(
+            subsample_filter_table(
+                opt.pixel_filter, jitter_np, *opt.pixel_filter_width
+            )
+        )
         if key is None:
             key = jax.random.key(0)
 
-        tiles = tile_list(W, H, self.tile_size, opt.bucket_order)
+        if self.frame_mode:
+            tiles = [(0, 0, 0, 0)]
+            tile_w = -(-W // 8) * 8
+            tile_h = -(-H // 8) * 8
+        else:
+            tiles = tile_list(W, H, self.tile_size, opt.bucket_order)
+            tile_w = tile_h = self.tile_size
+
+        kernel = self._get_kernel(tile_w, tile_h, xsamples, ysamples)
         image = np.zeros((H, W, 3), dtype=np.float32)
 
         timer = get_timer()
         timer.start("Render frame")
-
         ntests_total = 0
         ntrav_total = 0
         for ti, (x0, y0, _i, _j) in enumerate(tiles):
             tkey = jax.random.fold_in(key, ti)
-            img, aux = _render_tile_kernel(
-                self.scene,
-                self._frozen_camera,
-                jnp.int32(x0),
-                jnp.int32(y0),
-                jitter,
-                tkey,
-                tile=self.tile_size,
-                xsamples=xsamples,
-                ysamples=ysamples,
-                ntheta=ntheta,
-                nphi=nphi,
+            img, aux = kernel(
+                self.scene, jnp.int32(x0), jnp.int32(y0), jitter, weights, tkey
             )
             tile_np = np.asarray(img)
-            th = min(self.tile_size, H - y0)
-            tw = min(self.tile_size, W - x0)
+            th = min(tile_h, H - y0)
+            tw = min(tile_w, W - x0)
             image[y0 : y0 + th, x0 : x0 + tw] = tile_np[:th, :tw]
             self.stats.add(nrays=int(aux["nrays"]))
-            ntests_total += int(aux["ntests"]) if np.ndim(aux["ntests"]) == 0 else 0
-            ntrav_total += int(aux["ntrav"]) if np.ndim(aux["ntrav"]) == 0 else 0
+            ntests_total += int(aux["ntests"])
+            ntrav_total += int(aux["ntrav"])
             if tile_cb:
                 tile_cb(x0, y0, tile_np[:th, :tw])
             if progress_cb:
@@ -175,7 +213,7 @@ class Renderer:
 
 
 class _FrozenCamera:
-    """Hashable camera snapshot usable as a jit static argument."""
+    """Hashable camera snapshot usable inside jitted closures."""
 
     def __init__(self, fields: tuple):
         self._fields = fields

@@ -176,6 +176,8 @@ def compile_scene(
     # ---------------- materials ------------------------------------------
     mat_kd = np.ones(n_geoms)
     mat_ks = np.zeros(n_geoms)
+    mat_kt = np.zeros(n_geoms)
+    mat_ior = np.ones(n_geoms)
     mat_color = np.ones((n_geoms, 3))
     mat_texture = np.full(n_geoms, -1, dtype=np.int32)
     mat_emission = np.zeros((n_geoms, 3))
@@ -183,6 +185,8 @@ def compile_scene(
         a = g.attrs
         mat_kd[gi] = a.material.kd
         mat_ks[gi] = a.material.ks
+        mat_kt[gi] = a.material.kt
+        mat_ior[gi] = a.material.ior
         mat_color[gi] = np.asarray(a.color)
         if a.area_light_index >= 0 and a.area_light_index < len(desc.lights):
             li = desc.lights[a.area_light_index]
@@ -204,6 +208,8 @@ def compile_scene(
         c2=_pad(c2, 3),
         mat_kd=mat_kd,
         mat_ks=mat_ks,
+        mat_kt=mat_kt,
+        mat_ior=mat_ior,
         mat_color=mat_color,
         mat_texture=mat_texture,
         mat_emission=mat_emission,

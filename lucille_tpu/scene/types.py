@@ -44,6 +44,8 @@ class SceneArrays:
     # material table, row per geom
     mat_kd: Any  # (G,) f32
     mat_ks: Any  # (G,) f32
+    mat_kt: Any  # (G,) f32 transmission
+    mat_ior: Any  # (G,) f32 index of refraction
     mat_color: Any  # (G, 3) f32 (attribute Color)
     mat_texture: Any  # (G,) i32 texture id, -1 = none
     mat_emission: Any  # (G, 3) f32 area-light emission (0 if not a light)
@@ -72,7 +74,8 @@ class SceneArrays:
     _ARRAY_FIELDS = (
         "tri_v0", "tri_e1", "tri_e2", "geom_id",
         "n0", "n1", "n2", "st0", "st1", "st2", "c0", "c1", "c2",
-        "mat_kd", "mat_ks", "mat_color", "mat_texture", "mat_emission",
+        "mat_kd", "mat_ks", "mat_kt", "mat_ior", "mat_color", "mat_texture",
+        "mat_emission",
         "node_bbmin", "node_bbmax", "node_skip", "node_first", "node_count",
         "bbox_min", "bbox_max", "eps",
     )

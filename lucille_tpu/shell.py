@@ -1,0 +1,165 @@
+"""Interactive rendering shell.
+
+Equivalent capability to lucille's readline REPL (src/lsh/lsh.c:55-61):
+commands ``file/render/quit/nsamples/set/stat/maxdepth`` plus a few
+TPU-era conveniences.  Invoked by `python -m lucille_tpu.cli` with no
+scene argument, or via `python -m lucille_tpu.shell`.
+"""
+
+from __future__ import annotations
+
+import shlex
+import sys
+
+HELP = """commands:
+  file <scene.rib>        load a RIB scene
+  render [out.hdr]        render the loaded scene (to display or file)
+  nsamples <n>            set AO/final-gather ray count
+  maxdepth <n>            set maximum ray depth
+  method <name>           ao | whitted | pathtrace | dirtmap
+  accel <name>            bvh | bruteforce
+  format <w> <h>          set output resolution
+  set <option> <value>    set a raw option field
+  stat                    print render statistics
+  matrix                  print the camera matrix
+  quit / exit             leave the shell
+"""
+
+
+class Shell:
+    def __init__(self):
+        self.state = None
+        self.renderer = None
+        self.path = None
+
+    def cmd_file(self, path):
+        from lucille_tpu.ri.api import RiState
+        from lucille_tpu.rib.parser import parse_rib_file
+
+        self.state = RiState()
+        parse_rib_file(path, self.state)
+        self.path = path
+        self.renderer = None
+        print(
+            f"loaded {path}: {len(self.state.scene.geoms)} geoms, "
+            f"{self.state.scene.ntriangles} triangles, "
+            f"{len(self.state.scene.lights)} lights"
+        )
+
+    def cmd_render(self, out=None):
+        if self.state is None:
+            print("no scene loaded (use: file <scene.rib>)")
+            return
+        from lucille_tpu.display.drivers import get_display_driver
+        from lucille_tpu.render.renderer import Renderer
+
+        if self.renderer is None:
+            self.renderer = Renderer(
+                self.state.scene, tile_size=self.state.options.tile_size
+            )
+        opt = self.state.options
+        disp = opt.current_display()
+        drv = get_display_driver("file" if out else disp.driver)
+        drv.open(out or disp.name, opt.width, opt.height)
+        self.renderer.render_frame(tile_cb=drv.write)
+        drv.close()
+        print(self.renderer.stats.report())
+
+    def cmd_stat(self):
+        if self.renderer is not None:
+            print(self.renderer.stats.report())
+        from lucille_tpu.base.timer import get_timer
+
+        print(get_timer().dump())
+
+    def cmd_matrix(self):
+        if self.state is None:
+            print("no scene loaded")
+            return
+        print("world_to_camera:\n", self.state.world_to_camera)
+        print("camera_to_world:\n", self.state.camera.camera_to_world)
+
+    def one(self, line: str) -> bool:
+        """Execute one command; returns False to quit."""
+        try:
+            parts = shlex.split(line)
+        except ValueError as e:
+            print(f"parse error: {e}")
+            return True
+        if not parts:
+            return True
+        cmd, args = parts[0], parts[1:]
+        try:
+            if cmd in ("quit", "exit", "q"):
+                return False
+            elif cmd in ("help", "?"):
+                print(HELP)
+            elif cmd == "file":
+                self.cmd_file(args[0])
+            elif cmd == "render":
+                self.cmd_render(args[0] if args else None)
+            elif cmd == "nsamples":
+                self.state.options.gather_nsamples = int(args[0])
+                self.renderer = None
+            elif cmd == "maxdepth":
+                self.state.options.max_ray_depth = int(args[0])
+                self.renderer = None
+            elif cmd == "method":
+                self.state.options.render_method = args[0]
+                self.renderer = None
+            elif cmd == "accel":
+                self.state.options.accel_method = args[0]
+                self.renderer = None
+            elif cmd == "format":
+                self.state.Format(int(args[0]), int(args[1]))
+                self.renderer = None
+            elif cmd == "set":
+                setattr(self.state.options, args[0], _parse_value(args[1]))
+                self.renderer = None
+            elif cmd == "stat":
+                self.cmd_stat()
+            elif cmd == "matrix":
+                self.cmd_matrix()
+            else:
+                print(f"unknown command: {cmd} (try 'help')")
+        except (IndexError, AttributeError) as e:
+            print(f"usage error: {e} (try 'help')")
+        except FileNotFoundError as e:
+            print(e)
+        return True
+
+    def run(self):
+        print("lucille_tpu interactive shell — 'help' for commands")
+        try:
+            import readline  # noqa: F401 — line editing, like lsh.c
+        except ImportError:
+            pass
+        while True:
+            try:
+                line = input("lsh> ")
+            except (EOFError, KeyboardInterrupt):
+                print()
+                break
+            if not self.one(line):
+                break
+
+
+def _parse_value(s: str):
+    try:
+        return int(s)
+    except ValueError:
+        pass
+    try:
+        return float(s)
+    except ValueError:
+        pass
+    return s
+
+
+def main():
+    Shell().run()
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())

@@ -133,7 +133,9 @@ def ao_radiance(
 
     aux = {
         "hit": hit,
-        "nrays": B * (1 + nsamples),
+        # the reference counts a ray per ri_raytrace call (raytrace.c:43):
+        # eye rays for every lane, hemisphere rays only where the eye ray hit
+        "nrays": B + jnp.sum(hit.astype(jnp.int32)) * nsamples,
         "ntests": res["ntests"],
         "ntrav": res["ntrav"],
         "t": res["t"],

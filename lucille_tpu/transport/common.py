@@ -1,0 +1,70 @@
+"""Shared wavefront helpers for integrators."""
+
+from __future__ import annotations
+
+import jax.numpy as jnp
+
+
+def interp_hit(scene, res, org, dirn):
+    """Gather interpolated shading data at hit points.
+
+    Returns dict(P, Ns (faceted toward the ray), Ng, st (B, 2), cs (B, 3),
+    geom (B,), kd, ks (B,), mat_color (B, 3), emission (B, 3)).
+    Mirrors ri_intersection_state_build (intersection_state.c:100-240).
+    """
+    tri = jnp.maximum(res["tri"], 0)
+    u = res["u"][..., None]
+    v = res["v"][..., None]
+    w = 1.0 - u - v
+
+    t = jnp.where(res["hit"], res["t"], 0.0)
+    P = org + t[..., None] * dirn
+
+    n = w * scene.n0[tri] + u * scene.n1[tri] + v * scene.n2[tri]
+    Ns = n / jnp.maximum(jnp.linalg.norm(n, axis=-1, keepdims=True), 1e-20)
+    ng = jnp.cross(scene.tri_e1[tri], scene.tri_e2[tri])
+    Ng = ng / jnp.maximum(jnp.linalg.norm(ng, axis=-1, keepdims=True), 1e-20)
+
+    st = w * scene.st0[tri] + u * scene.st1[tri] + v * scene.st2[tri]
+    cs = w * scene.c0[tri] + u * scene.c1[tri] + v * scene.c2[tri]
+
+    geom = scene.geom_id[tri]
+    return {
+        "P": P,
+        "Ns": Ns,
+        "Ng": Ng,
+        "st": st,
+        "cs": cs,
+        "geom": geom,
+        "kd": scene.mat_kd[geom],
+        "ks": scene.mat_ks[geom],
+        "kt": scene.mat_kt[geom],
+        "ior": scene.mat_ior[geom],
+        "mat_color": scene.mat_color[geom],
+        "emission": scene.mat_emission[geom],
+    }
+
+
+def face_forward(N, dirn):
+    """Flip N to the hemisphere opposing the incoming ray direction."""
+    s = jnp.where(jnp.sum(N * dirn, axis=-1, keepdims=True) > 0.0, -1.0, 1.0)
+    return N * s
+
+
+def background_radiance(lights, dirn, bgcolor=(0.0, 0.0, 0.0)):
+    """Environment contribution for escaped rays: sunsky/IBL/dome lookup,
+    else the option bgcolor (reference: AO returns black on miss;
+    pathtrace gathers IBL)."""
+    out = jnp.broadcast_to(
+        jnp.asarray(bgcolor, jnp.float32), dirn.shape
+    ).astype(jnp.float32)
+    if lights is None:
+        return out
+    for light in lights:
+        if light.type == "sunsky" and light.sunsky is not None:
+            d_sky = jnp.stack([dirn[:, 0], dirn[:, 2], dirn[:, 1]], axis=-1)
+            out = out + light.sunsky.sky_rgb(d_sky)
+        elif light.type in ("dome", "ibl"):
+            col = jnp.asarray(light.color, jnp.float32) * light.intensity
+            out = out + jnp.broadcast_to(col, dirn.shape)
+    return out

@@ -1,0 +1,101 @@
+"""Whitted-style recursive ray tracing, as a bounded wavefront loop.
+
+Capability-equivalent of src/transport/whitted.c (classic reflect/refract
+recursion, depth <= 8, whitted.c:24-70).  The recursion becomes a Python
+loop over depth (static, so XLA unrolls and fuses): every lane carries a
+throughput and a single continuation ray.
+
+Deviation by design (documented): where the reference's recursion forks
+into BOTH reflection and refraction branches, a wavefront lane follows ONE
+stochastically-selected branch weighted by the Fresnel coefficients
+(standard GPU/wavefront practice) — the estimator's expectation is the
+same; variance moves into the sample dimension where the TPU is fast.
+"""
+
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+
+from lucille_tpu.accel.dispatch import closest_hit
+from lucille_tpu.lights.sampling import direct_diffuse, direct_specular
+from lucille_tpu.shading.reflection import fresnel, reflect
+from lucille_tpu.transport.common import (
+    background_radiance,
+    face_forward,
+    interp_hit,
+)
+
+
+def whitted_radiance(
+    scene,
+    lights,
+    org,
+    dirn,
+    key,
+    max_depth: int = 8,
+    bgcolor=(0.0, 0.0, 0.0),
+):
+    """Wavefront Whitted integrator.  org/dirn (B, 3) -> (radiance, aux)."""
+    B = org.shape[0]
+    radiance = jnp.zeros((B, 3), jnp.float32)
+    throughput = jnp.ones((B, 3), jnp.float32)
+    active = jnp.ones((B,), bool)
+    nrays = 0
+
+    for depth in range(max_depth):
+        res = closest_hit(scene, org, dirn)
+        nrays += B
+        hit = res["hit"] & active
+        h = interp_hit(scene, res, org, dirn)
+        N = face_forward(h["Ns"], dirn)
+        P = h["P"]
+
+        # escaped rays pick up the environment
+        env = background_radiance(lights, dirn, bgcolor)
+        radiance = radiance + jnp.where(
+            (active & ~res["hit"])[:, None], throughput * env, 0.0
+        )
+
+        # emission (area lights seen directly)
+        radiance = radiance + jnp.where(
+            hit[:, None], throughput * h["emission"], 0.0
+        )
+
+        # direct lighting on the diffuse part
+        kdir = jax.random.fold_in(key, depth)
+        diff = direct_diffuse(scene, lights, P, N, kdir)
+        spec = direct_specular(scene, lights, P, N, -dirn, 0.1, kdir)
+        base = h["cs"] * h["mat_color"]
+        kd = h["kd"][:, None]
+        ks = h["ks"][:, None]
+        local = base * kd * diff + ks * spec
+        radiance = radiance + jnp.where(hit[:, None], throughput * local, 0.0)
+
+        if depth == max_depth - 1:
+            break
+
+        # continuation: specular reflect/refract via Fresnel-weighted
+        # stochastic selection (see module docstring)
+        refl = reflect(dirn, N)
+        refl = refl / jnp.maximum(
+            jnp.linalg.norm(refl, axis=-1, keepdims=True), 1e-20
+        )
+        mat_ior = jnp.maximum(h["ior"], 1.001)
+        r_dir, t_dir, kr, kt = fresnel(dirn, N, mat_ior)
+        u = jax.random.uniform(jax.random.fold_in(kdir, 7), (B,))
+        kt_mat = h["kt"]
+        # transmissive lanes pick refraction with probability kt (the
+        # Fresnel transmittance); others always reflect
+        choose_refract = (u < kt) & (kt_mat > 1e-4)
+        new_dir = jnp.where(choose_refract[:, None], t_dir, refl)
+        gain = jnp.where(choose_refract, kt_mat, h["ks"])[:, None]
+        cont = hit & ((h["ks"] > 1e-4) | (kt_mat > 1e-4))
+        throughput = jnp.where(cont[:, None], throughput * gain, throughput)
+        # refracted rays push through the surface, reflected ones off it
+        off = jnp.where(choose_refract[:, None], -N, N) * scene.eps
+        org = jnp.where(cont[:, None], P + off, org)
+        dirn = jnp.where(cont[:, None], new_dir, dirn)
+        active = cont
+
+    return radiance, {"nrays": nrays, "hit": res["hit"]}

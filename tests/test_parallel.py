@@ -1,0 +1,79 @@
+"""Multi-device tests on the virtual 8-CPU mesh (SURVEY.md section 4:
+distributed logic must be testable without a pod, like the reference's
+single-task MPI no-op fallback)."""
+
+import numpy as np
+import pytest
+
+import jax
+
+
+def _tiny_scene(width=64, height=32):
+    from lucille_tpu.ri.api import RiState
+    from lucille_tpu.rib.parser import parse_rib
+
+    s = RiState()
+    parse_rib(
+        """
+        Display "t.hdr" "file" "rgb"
+        PixelSamples 1 1
+        Projection "perspective" "fov" [45]
+        Orientation "rh"
+        ConcatTransform [1 0 0 0  0 1 0 0  0 0 1 0  0 -1 -8 1]
+        WorldBegin
+        PointsPolygons [4] [0 1 2 3] "P" [-5 0 -5  5 0 -5  5 0 5  -5 0 5]
+        PointsPolygons [3] [0 1 2] "P" [-1 0 -1  1 0 -1  0 2 0]
+        WorldEnd
+        """,
+        s,
+    )
+    s.Format(width, height)
+    s.options.gather_nsamples = 4
+    return s
+
+
+class TestMesh:
+    def test_eight_devices_available(self):
+        assert len(jax.devices()) >= 8
+
+    def test_make_mesh(self):
+        from lucille_tpu.parallel.mesh import make_mesh
+
+        mesh = make_mesh(8)
+        assert mesh.devices.size == 8
+
+    def test_sharded_render_matches_single_device(self):
+        from lucille_tpu.parallel.mesh import make_mesh, render_frame_sharded
+
+        s = _tiny_scene()
+        img8, rays8 = render_frame_sharded(s.scene, make_mesh(8), tile=16)
+        img1, rays1 = render_frame_sharded(s.scene, make_mesh(1), tile=16)
+        # same tile keys => identical sampling on any mesh size
+        np.testing.assert_allclose(img8, img1, atol=1e-6)
+        assert rays8 == rays1
+        assert img8.shape == (32, 64, 3)
+        assert img8.mean() > 0.01
+
+    def test_uneven_tile_count_pads(self):
+        # 64x48 with 16px tiles -> 4x3 = 12 tiles over 8 devices (pad to 16)
+        from lucille_tpu.parallel.mesh import make_mesh, render_frame_sharded
+
+        s = _tiny_scene(64, 48)
+        img, nrays = render_frame_sharded(s.scene, make_mesh(8), tile=16)
+        assert img.shape == (48, 64, 3)
+        assert nrays > 0
+
+
+class TestGraftEntry:
+    def test_entry_compiles(self):
+        import __graft_entry__ as g
+
+        fn, args = g.entry()
+        out = jax.jit(fn)(*args)
+        assert out[0].shape == (1024, 3)
+
+    def test_dryrun_multichip(self, capsys):
+        import __graft_entry__ as g
+
+        g.dryrun_multichip(8)
+        assert "dryrun_multichip OK" in capsys.readouterr().out

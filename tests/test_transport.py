@@ -1,0 +1,204 @@
+"""Integrator tests: Whitted, path tracer, dirtmap, dispatch."""
+
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+
+
+def _plane_scene(extra_rib="", lights_rib=""):
+    from lucille_tpu.lights.tables import build_light_tables
+    from lucille_tpu.ri.api import RiState
+    from lucille_tpu.rib.parser import parse_rib
+    from lucille_tpu.scene.compile import compile_scene
+
+    s = RiState()
+    # index order [0 3 2 1] makes the ground plane face +y with the fixed
+    # PointsPolygons winding (see ri/polygon.py module docstring)
+    parse_rib(
+        "WorldBegin\n"
+        + lights_rib
+        + 'PointsPolygons [4] [0 3 2 1] "P" [-50 0 -50  50 0 -50  50 0 50  -50 0 50]\n'
+        + extra_rib
+        + "WorldEnd\n",
+        s,
+    )
+    scene = compile_scene(s.scene).device_put()
+    lights = build_light_tables(s.scene)
+    return s, scene, lights
+
+
+def _down_rays(B=64, height=5.0):
+    org = jnp.stack(
+        [
+            jnp.linspace(-3, 3, B),
+            jnp.full((B,), height),
+            jnp.linspace(-3, 3, B),
+        ],
+        axis=-1,
+    )
+    dirn = jnp.broadcast_to(jnp.asarray([0.0, -1.0, 0.0]), (B, 3))
+    return org, dirn
+
+
+class TestPathTracer:
+    def test_furnace_closed_environment(self):
+        """White lambertian plane under a unit dome light: the surface
+        radiance converges to the dome radiance (furnace-like check)."""
+        from lucille_tpu.transport.pathtrace import path_radiance
+
+        _, scene, lights = _plane_scene(
+            lights_rib='LightSource "domelight" 1 "intensity" [1.0]\n'
+        )
+        org, dirn = _down_rays(256)
+        out = []
+        for i in range(8):
+            r, aux = path_radiance(
+                scene, lights, org, dirn, jax.random.key(i), max_depth=6
+            )
+            out.append(np.asarray(r))
+        mean = np.concatenate(out).mean()
+        # kd defaults to 1 (perfect white): radiance -> 1.0
+        assert mean == pytest.approx(1.0, abs=0.08)
+
+    def test_black_without_lights_or_background(self):
+        from lucille_tpu.lights.tables import LightTables
+        from lucille_tpu.transport.pathtrace import path_radiance
+
+        _, scene, _ = _plane_scene()
+        org, dirn = _down_rays(32)
+        r, _ = path_radiance(scene, LightTables([]), org, dirn, jax.random.key(0))
+        np.testing.assert_allclose(np.asarray(r), 0.0, atol=1e-6)
+
+    def test_escaped_rays_see_background(self):
+        from lucille_tpu.lights.tables import LightTables
+        from lucille_tpu.transport.pathtrace import path_radiance
+
+        _, scene, _ = _plane_scene()
+        B = 16
+        org = jnp.zeros((B, 3)) + jnp.asarray([0.0, 1.0, 0.0])
+        dirn = jnp.broadcast_to(jnp.asarray([0.0, 1.0, 0.0]), (B, 3))  # up
+        r, _ = path_radiance(
+            scene, LightTables([]), org, dirn, jax.random.key(0),
+            bgcolor=(0.25, 0.5, 0.75),
+        )
+        np.testing.assert_allclose(
+            np.asarray(r), np.broadcast_to([0.25, 0.5, 0.75], (B, 3)), atol=1e-6
+        )
+
+    def test_area_light_illuminates(self):
+        from lucille_tpu.transport.pathtrace import path_radiance
+
+        # emissive quad 3 units above the plane
+        _, scene, lights = _plane_scene(
+            extra_rib=(
+                "AttributeBegin\n"
+                'AreaLightSource "arealight" 2 "intensity" [5.0]\n'
+                'PointsPolygons [4] [0 1 2 3] "P" '
+                '[-1 3 -1  1 3 -1  1 3 1  -1 3 1]\n'
+                "AttributeEnd\n"
+            )
+        )
+        assert lights.nlights == 1
+        assert lights.lights[0].tris is not None
+        org, dirn = _down_rays(128, height=2.0)
+        r, _ = path_radiance(scene, lights, org, dirn, jax.random.key(0))
+        assert float(np.asarray(r).mean()) > 0.01
+
+
+class TestWhitted:
+    def test_direct_lighting_from_distant(self):
+        from lucille_tpu.transport.whitted import whitted_radiance
+
+        _, scene, lights = _plane_scene(
+            lights_rib=(
+                'LightSource "distantlight" 1 "intensity" [2.0] '
+                '"from" [0 10 0] "to" [0 0 0]\n'
+            )
+        )
+        org, dirn = _down_rays(64)
+        r, aux = whitted_radiance(scene, lights, org, dirn, jax.random.key(0))
+        vals = np.asarray(r)
+        assert (vals > 0.0).all()
+        assert np.isfinite(vals).all()
+
+    def test_mirror_sees_plane(self):
+        """A specular quad above a lit plane reflects the plane's color."""
+        from lucille_tpu.transport.whitted import whitted_radiance
+
+        s, scene, lights = _plane_scene(
+            lights_rib='LightSource "domelight" 1 "intensity" [1.0]\n',
+            extra_rib=(
+                "AttributeBegin\n"
+                'Surface "mirror" "Ks" [1.0]\n'
+                'PointsPolygons [4] [0 1 2 3] "P" '
+                '[-2 4 -2  2 4 -2  2 4 2  -2 4 2]\n'
+                "AttributeEnd\n"
+            ),
+        )
+        B = 32
+        # rays hitting the mirror from below at an angle
+        org = jnp.stack(
+            [jnp.linspace(-1, 1, B), jnp.full((B,), 0.5), jnp.zeros((B,))],
+            axis=-1,
+        )
+        up = jnp.broadcast_to(jnp.asarray([0.1, 1.0, 0.0]), (B, 3))
+        dirn = up / jnp.linalg.norm(up, axis=-1, keepdims=True)
+        r, _ = whitted_radiance(scene, lights, org, dirn, jax.random.key(1))
+        assert np.isfinite(np.asarray(r)).all()
+
+
+class TestDirtmap:
+    def test_open_plane_is_clean(self):
+        from lucille_tpu.transport.dirtmap import dirtmap_radiance
+
+        _, scene, _ = _plane_scene()
+        org, dirn = _down_rays(64)
+        r, aux = dirtmap_radiance(scene, org, dirn, jax.random.key(0), 4, 4)
+        hits = np.asarray(aux["hit"])
+        vals = np.asarray(r)[hits]
+        np.testing.assert_allclose(vals, 1.0, atol=1e-5)
+
+    def test_corner_is_dirty(self):
+        # a wall right next to the shading points adds dirt
+        from lucille_tpu.transport.dirtmap import dirtmap_radiance
+
+        _, scene, _ = _plane_scene(
+            extra_rib=(
+                'PointsPolygons [4] [0 1 2 3] "P" '
+                '[-0.2 0 -50  -0.2 0 50  -0.2 50 50  -0.2 50 -50]\n'
+            )
+        )
+        org, dirn = _down_rays(64)
+        r, aux = dirtmap_radiance(scene, org, dirn, jax.random.key(0), 4, 4)
+        hits = np.asarray(aux["hit"])
+        assert np.asarray(r)[hits].min() < 0.9
+
+
+class TestDispatch:
+    @pytest.mark.parametrize("method", ["ao", "whitted", "pathtrace", "dirtmap"])
+    def test_all_methods_run_through_renderer(self, method):
+        from lucille_tpu.render.renderer import Renderer
+        from lucille_tpu.ri.api import RiState
+        from lucille_tpu.rib.parser import parse_rib
+
+        s = RiState()
+        parse_rib(
+            'Display "t.hdr" "file" "rgb"\nPixelSamples 1 1\n'
+            'Projection "perspective" "fov" [45]\nOrientation "rh"\n'
+            "ConcatTransform [1 0 0 0  0 1 0 0  0 0 1 0  0 -1 -8 1]\n"
+            "WorldBegin\n"
+            'LightSource "domelight" 1\n'
+            'PointsPolygons [4] [0 1 2 3] "P" [-5 0 -5  5 0 -5  5 0 5  -5 0 5]\n'
+            "WorldEnd\n",
+            s,
+        )
+        s.Format(32, 32)
+        s.options.render_method = method
+        s.options.gather_nsamples = 4
+        s.options.max_ray_depth = 3
+        img = Renderer(s.scene, tile_size=32).render_frame()
+        assert img.shape == (32, 32, 3)
+        assert np.isfinite(img).all()
+        assert img.mean() > 0.0
