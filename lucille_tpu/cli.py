@@ -48,7 +48,11 @@ def build_argparser() -> argparse.ArgumentParser:
         choices=["spiral", "scanline", "zorder", "hilbert"],
         help="tile order (default spiral)",
     )
-    p.add_argument("--accel", choices=["bvh", "bruteforce"], help="accel override")
+    p.add_argument(
+        "--accel",
+        choices=["auto", "bvh", "bruteforce", "mxu"],
+        help="accel override (auto = mxu for small scenes, bvh for big)",
+    )
     p.add_argument(
         "--method",
         choices=["ao", "whitted", "pathtrace", "dirtmap"],

@@ -22,6 +22,8 @@ import numpy as np
 # correctness oracle and is the faster choice for small scenes on TPU).
 ACCEL_BVH = "bvh"
 ACCEL_BRUTEFORCE = "bruteforce"
+ACCEL_MXU = "mxu"  # dense matmul intersector (accel/mxu.py)
+ACCEL_AUTO = "auto"  # mxu below a triangle budget, bvh above
 ACCEL_GRID = "grid"  # accepted for RIB compatibility; maps to bruteforce
 
 
@@ -55,7 +57,11 @@ class RenderOptions:
     max_ray_depth: int = 8
     gather_nsamples: int = 64  # AO/final-gather rays (option.c:148)
     narealight_rays: int = 16
-    accel_method: str = ACCEL_BVH
+    # default 'auto': the dense MXU intersector below AUTO_MXU_MAX_TRIS
+    # triangles (regular matmul work beats divergent traversal on TPU),
+    # the BVH above it.  RIB Option "raytrace" "accel_method" forces one
+    # (reference default is BVH, option.c:116 — honored when requested).
+    accel_method: str = ACCEL_AUTO
     # lighting switches (option.c:111-118)
     enable_direct_lighting: bool = True
     enable_indirect_lighting: bool = False

@@ -22,6 +22,7 @@ from lucille_tpu.scene.types import SceneArrays
 
 PAD_MULTIPLE = 256  # keeps brute-force chunks and BVH leaves lane-aligned
 EPS_SCALE = 1.0e-4  # scene-relative ray-offset epsilon (f32-safe)
+AUTO_MXU_MAX_TRIS = 32768  # 'auto' accel: dense matmul up to here, BVH beyond
 
 
 def compile_scene(
@@ -121,8 +122,11 @@ def compile_scene(
     eps = max(diag, 1.0) * EPS_SCALE
 
     # ---------------- BVH ------------------------------------------------
+    accel_method = desc.options.accel_method
+    if accel_method == "auto":
+        accel_method = "mxu" if n_tris <= AUTO_MXU_MAX_TRIS else ACCEL_BVH
     if build_bvh is None:
-        build_bvh = desc.options.accel_method == ACCEL_BVH and n_tris > 0
+        build_bvh = accel_method == ACCEL_BVH and n_tris > 0
     if build_bvh and n_tris > 0:
         from lucille_tpu.accel.bvh import build_bvh as _build
 
@@ -157,7 +161,7 @@ def compile_scene(
         node_first = np.zeros(1, dtype=np.int32)
         node_count = np.zeros(1, dtype=np.int32)
         n_nodes = 0
-        accel = "bruteforce"
+        accel = "mxu" if accel_method == "mxu" else "bruteforce"
 
     # ---------------- padding -------------------------------------------
     n_pad = max(PAD_MULTIPLE, -(-max(n_tris, 1) // PAD_MULTIPLE) * PAD_MULTIPLE)

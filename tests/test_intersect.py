@@ -100,6 +100,36 @@ class TestParity:
             np.asarray(r1["t"])[h1], np.asarray(r2["t"])[h2], rtol=1e-4
         )
 
+    @pytest.mark.parametrize("seed", [0, 5])
+    def test_mxu_matmul_matches_bruteforce(self, seed):
+        """The MXU matmul formulation is algebraically identical to direct
+        Moller-Trumbore; verify hits, t, u/v and triangle ids."""
+        from lucille_tpu.accel.bruteforce import brute_closest_hit
+        from lucille_tpu.accel.mxu import mxu_any_hit, mxu_closest_hit
+        from lucille_tpu.accel.bruteforce import brute_any_hit
+
+        v0, v1, v2 = _random_soup(300, seed=seed)
+        sc = _scene_from_tris(v0, v1, v2, "bruteforce")
+        rng = np.random.default_rng(seed + 20)
+        B = 512
+        org = jnp.asarray(rng.uniform(-8, 8, (B, 3)), jnp.float32)
+        d = rng.normal(size=(B, 3))
+        d /= np.linalg.norm(d, axis=-1, keepdims=True)
+        dirn = jnp.asarray(d, jnp.float32)
+        r1 = brute_closest_hit(sc, org, dirn)
+        r2 = mxu_closest_hit(sc, org, dirn)
+        h = np.asarray(r1["hit"])
+        np.testing.assert_array_equal(h, np.asarray(r2["hit"]))
+        np.testing.assert_allclose(
+            np.asarray(r1["t"])[h], np.asarray(r2["t"])[h], rtol=1e-4
+        )
+        np.testing.assert_allclose(
+            np.asarray(r1["u"])[h], np.asarray(r2["u"])[h], atol=1e-4
+        )
+        o1 = np.asarray(brute_any_hit(sc, org, dirn))
+        o2 = np.asarray(mxu_any_hit(sc, org, dirn))
+        np.testing.assert_array_equal(o1, o2)
+
     def test_any_hit_parity(self):
         from lucille_tpu.accel import brute_any_hit, bvh_any_hit
 
