@@ -48,6 +48,7 @@ def build_tile_kernel(
     gather_nsamples: int,
     max_depth: int,
     bgcolor=(0.0, 0.0, 0.0),
+    textures=None,
 ):
     """Compile-once tile kernel: (scene, x0, y0, jitter, weights, key) ->
     ((tile_h, tile_w, 3) radiance, aux).  Per-frame constants (camera,
@@ -82,6 +83,7 @@ def build_tile_kernel(
             gather_nsamples=gather_nsamples,
             max_depth=max_depth,
             bgcolor=bgcolor,
+            textures=textures,
         )
         # pixel-filter reconstruction over subsamples (render.c:715-823
         # box-averages; RIB PixelFilter generalizes via constant weights)
@@ -113,7 +115,10 @@ class Renderer:
     def __post_init__(self):
         timer = get_timer()
         timer.start("Scene compile")
-        self.scene = compile_scene(self.desc).device_put()
+        self.textures, texture_ids = _load_textures(self.desc)
+        self.scene = compile_scene(
+            self.desc, texture_ids=texture_ids
+        ).device_put()
         timer.end("Scene compile")
         self.camera = self.desc.camera
         self._frozen_camera = _FrozenCamera.from_camera(self.camera)
@@ -139,6 +144,7 @@ class Renderer:
                 opt.gather_nsamples,
                 opt.max_ray_depth,
                 opt.bgcolor,
+                textures=self.textures,
             )
             self._kernel_shape = shape
         return self._kernel
@@ -210,6 +216,44 @@ class Renderer:
             self.stats.mrays_per_sec,
         )
         return image
+
+
+def _load_textures(desc):
+    """Load every material texture via the option searchpaths and build
+    the device atlas.  Returns (TextureAtlas, {name: id})."""
+    from lucille_tpu.texture.texture import TextureAtlas
+
+    names = {
+        g.attrs.material.texture
+        for g in desc.geoms
+        if g.attrs.material.texture
+    }
+    if not names:
+        return TextureAtlas(), {}
+    from pathlib import Path
+
+    from lucille_tpu.base.log import LOG_WARN, log
+    from lucille_tpu.imageio.loader import load_image
+
+    images = {}
+    for name in sorted(names):
+        found = None
+        for sp in desc.options.searchpaths or ["."]:
+            cand = Path(sp) / name
+            if cand.exists():
+                found = cand
+                break
+        if found is None and Path(name).exists():
+            found = Path(name)
+        if found is None:
+            log(LOG_WARN, "texture '%s' not found on searchpath; ignoring", name)
+            continue
+        try:
+            images[name] = load_image(found)
+        except (ValueError, OSError) as e:
+            log(LOG_WARN, "cannot load texture '%s': %s", name, e)
+    atlas = TextureAtlas.build(images)
+    return atlas, dict(atlas.names)
 
 
 class _FrozenCamera:

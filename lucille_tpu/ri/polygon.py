@@ -57,6 +57,50 @@ def _param_array(params: dict, *names, width: int):
     return None
 
 
+def _find_param(params: dict, base: str):
+    """Look up a parameter by its BASE name, tolerating inline
+    declarations ('facevertex float s' — examples/texparam/st1.rib).
+    Returns (flat float array, storage class string) or (None, '')."""
+    for k, v in params.items():
+        parts = str(k).split()
+        if parts and parts[-1] == base:
+            cls = " ".join(parts[:-1])
+            try:
+                return np.asarray(v, dtype=np.float64).reshape(-1), cls
+            except (ValueError, TypeError):
+                return None, ""
+    return None, ""
+
+
+def _gather_st(params: dict, npoints: int, nfaceverts: int):
+    """Collect texture coordinates from 'st' or separate 's'/'t' params.
+
+    Returns (st_vertex (V, 2) | None, st_facevarying (F*, 2) | None) where
+    facevarying values are ordered per face-vertex (reference
+    texcoords_unshared, intersection_state.c:222-230)."""
+    st, st_cls = _find_param(params, "st")
+    if st is not None:
+        st = st.reshape(-1, 2)
+        if len(st) == npoints and "facev" not in st_cls:
+            return st, None
+        if len(st) == nfaceverts:
+            return None, st
+        return (st, None) if len(st) == npoints else (None, None)
+    s, s_cls = _find_param(params, "s")
+    t, t_cls = _find_param(params, "t")
+    if s is None or t is None or len(s) != len(t):
+        return None, None
+    st = np.stack([s, t], axis=-1)
+    facev = "facev" in s_cls or "facev" in t_cls
+    if facev and len(st) == nfaceverts:
+        return None, st
+    if len(st) == npoints:
+        return st, None
+    if len(st) == nfaceverts:
+        return None, st
+    return None, None
+
+
 def build_polygon(
     params: dict,
     ctm: np.ndarray,
@@ -134,10 +178,7 @@ def build_points_polygons(
     if N is not None and len(N) == len(P):
         normals = vm.normalize(vm.transform_normal(N, om))
 
-    st = _param_array(params, "st", "s", width=2)
-    st_vtx = st if st is not None and len(st) == len(P) else None
-    # facevarying st: one value per face-vertex (handled after fanning)
-    st_fv = st if st is not None and st_vtx is None else None
+    st_vtx, st_fv = _gather_st(params, len(P), int(nvertices.sum()))
 
     Cs = _param_array(params, "Cs", width=3)
     colors = Cs if Cs is not None and len(Cs) == len(P) else None

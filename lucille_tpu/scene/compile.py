@@ -29,7 +29,10 @@ def compile_scene(
     desc: SceneDescription,
     build_bvh: bool | None = None,
     leaf_size: int = 8,
+    texture_ids: dict | None = None,
 ) -> SceneArrays:
+    """texture_ids: {texture file name: atlas id} — assigned by the
+    renderer after loading the atlas (lucille_tpu.texture)."""
     geoms = [g for g in desc.geoms if g.ntriangles > 0]
     n_geoms = max(1, len(geoms))
 
@@ -192,6 +195,8 @@ def compile_scene(
         mat_kt[gi] = a.material.kt
         mat_ior[gi] = a.material.ior
         mat_color[gi] = np.asarray(a.color)
+        if texture_ids and a.material.texture:
+            mat_texture[gi] = texture_ids.get(a.material.texture, -1)
         if a.area_light_index >= 0 and a.area_light_index < len(desc.lights):
             li = desc.lights[a.area_light_index]
             mat_emission[gi] = np.asarray(li.color) * li.intensity

@@ -77,6 +77,7 @@ def ao_radiance(
     ntheta: int,
     nphi: int,
     background: float = 0.0,
+    textures=None,
 ):
     """AO radiance for a wavefront of eye rays.
 
@@ -122,14 +123,21 @@ def ao_radiance(
         (1, 3), jnp.float32
     )
 
-    # material texture modulation (ambientocclusion.c:393-400) is applied
-    # by the renderer once textures are resident; vertex color Cs
-    # modulation comes free here:
+    # vertex color Cs modulation + material texture modulation at the
+    # interpolated st (ambientocclusion.c:393-400)
     tri = jnp.maximum(res["tri"], 0)
     u = res["u"][..., None]
     v = res["v"][..., None]
-    cs = (1.0 - u - v) * scene.c0[tri] + u * scene.c1[tri] + v * scene.c2[tri]
+    w = 1.0 - u - v
+    cs = w * scene.c0[tri] + u * scene.c1[tri] + v * scene.c2[tri]
     radiance = radiance * jnp.where(hit[..., None], cs, 1.0)
+    if textures is not None and textures.data is not None:
+        st = w * scene.st0[tri] + u * scene.st1[tri] + v * scene.st2[tri]
+        geom = scene.geom_id[tri]
+        tex_id = scene.mat_texture[geom]
+        texcol = textures.fetch(jnp.maximum(tex_id, 0), st[..., 0], st[..., 1])
+        has_tex = hit & (tex_id >= 0)
+        radiance = radiance * jnp.where(has_tex[..., None], texcol, 1.0)
 
     aux = {
         "hit": hit,

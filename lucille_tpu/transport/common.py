@@ -45,6 +45,20 @@ def interp_hit(scene, res, org, dirn):
     }
 
 
+def apply_texture(scene, textures, h, albedo):
+    """Modulate an albedo by the material texture at the hit st, when the
+    geometry's material binds one (texture.c ri_texture_fetch path)."""
+    import jax.numpy as jnp
+
+    if textures is None or getattr(textures, "data", None) is None:
+        return albedo
+    tex_id = scene.mat_texture[h["geom"]]
+    texcol = textures.fetch(
+        jnp.maximum(tex_id, 0), h["st"][..., 0], h["st"][..., 1]
+    )
+    return albedo * jnp.where((tex_id >= 0)[..., None], texcol, 1.0)
+
+
 def face_forward(N, dirn):
     """Flip N to the hemisphere opposing the incoming ray direction."""
     s = jnp.where(jnp.sum(N * dirn, axis=-1, keepdims=True) > 0.0, -1.0, 1.0)

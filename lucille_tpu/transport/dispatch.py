@@ -25,19 +25,20 @@ def get_integrator(name: str):
         # the reference hardwires AO as the default transport
         # (render.c:803); we honor that as the default method
         def ao_fn(scene, lights, org, dirn, key, *, gather_nsamples=64,
-                  max_depth=8, bgcolor=(0, 0, 0)):
+                  max_depth=8, bgcolor=(0, 0, 0), textures=None):
             import numpy as np
 
             ntheta = max(1, int(np.sqrt(gather_nsamples)))
-            return ao_radiance(scene, org, dirn, key, ntheta, ntheta)
+            return ao_radiance(scene, org, dirn, key, ntheta, ntheta,
+                               textures=textures)
 
         return ao_fn
     if name == "whitted":
         def whitted_fn(scene, lights, org, dirn, key, *, gather_nsamples=64,
-                       max_depth=8, bgcolor=(0, 0, 0)):
+                       max_depth=8, bgcolor=(0, 0, 0), textures=None):
             return whitted_radiance(
                 scene, lights, org, dirn, key, max_depth=max_depth,
-                bgcolor=bgcolor,
+                bgcolor=bgcolor, textures=textures,
             )
 
         return whitted_fn
@@ -46,16 +47,16 @@ def get_integrator(name: str):
             log_once(LOG_WARN, "method 'mlt' unimplemented; using pathtrace")
 
         def path_fn(scene, lights, org, dirn, key, *, gather_nsamples=64,
-                    max_depth=10, bgcolor=(0, 0, 0)):
+                    max_depth=10, bgcolor=(0, 0, 0), textures=None):
             return path_radiance(
                 scene, lights, org, dirn, key, max_depth=max_depth,
-                bgcolor=bgcolor,
+                bgcolor=bgcolor, textures=textures,
             )
 
         return path_fn
     if name == "dirtmap":
         def dirt_fn(scene, lights, org, dirn, key, *, gather_nsamples=64,
-                    max_depth=8, bgcolor=(0, 0, 0)):
+                    max_depth=8, bgcolor=(0, 0, 0), textures=None):
             import numpy as np
 
             ntheta = max(1, int(np.sqrt(gather_nsamples)))

@@ -131,6 +131,7 @@ def path_radiance(
     key,
     max_depth: int = 10,
     bgcolor=(0.0, 0.0, 0.0),
+    textures=None,
 ):
     """Path-traced radiance for a wavefront (org, dirn) of (B, 3)."""
     B = org.shape[0]
@@ -167,7 +168,11 @@ def path_radiance(
         kdepth = jax.random.fold_in(key, depth)
 
         # NEE with BRDF weighting (lambertian: f = albedo/pi)
-        albedo = h["cs"] * h["mat_color"] * h["kd"][:, None]
+        from lucille_tpu.transport.common import apply_texture
+
+        albedo = apply_texture(
+            scene, textures, h, h["cs"] * h["mat_color"] * h["kd"][:, None]
+        )
         nee, wi_l, _pdf_l = _sample_one_light(scene, lights, P, N, kdepth)
         f_l = albedo / jnp.pi
         radiance = radiance + jnp.where(

@@ -35,6 +35,7 @@ def whitted_radiance(
     key,
     max_depth: int = 8,
     bgcolor=(0.0, 0.0, 0.0),
+    textures=None,
 ):
     """Wavefront Whitted integrator.  org/dirn (B, 3) -> (radiance, aux)."""
     B = org.shape[0]
@@ -66,7 +67,9 @@ def whitted_radiance(
         kdir = jax.random.fold_in(key, depth)
         diff = direct_diffuse(scene, lights, P, N, kdir)
         spec = direct_specular(scene, lights, P, N, -dirn, 0.1, kdir)
-        base = h["cs"] * h["mat_color"]
+        from lucille_tpu.transport.common import apply_texture
+
+        base = apply_texture(scene, textures, h, h["cs"] * h["mat_color"])
         kd = h["kd"][:, None]
         ks = h["ks"][:, None]
         local = base * kd * diff + ks * spec
