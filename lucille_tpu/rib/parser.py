@@ -124,8 +124,10 @@ def parse_rib(text: str, state, searchpaths=None, depth: int = 0) -> None:
 
 def parse_rib_file(path, state, extra_searchpaths=None) -> None:
     """Parse a RIB file; its directory and cwd join the searchpath
-    (reference main.c:77-102,192-196)."""
+    (reference main.c:77-102,192-196).  Relative searchpath entries added
+    later by Option "searchpath" resolve against the RIB's directory."""
     path = Path(path)
+    state.options.impl["rib_dir"] = str(path.parent)
     sp = [str(path.parent), "."]
     for p in extra_searchpaths or []:
         if p not in sp:
@@ -137,14 +139,20 @@ def parse_rib_file(path, state, extra_searchpaths=None) -> None:
     parse_rib(read_rib_text(path), state, searchpaths=sp)
 
 
-def _find_file(name: str, searchpaths) -> Path | None:
+def _find_file(name: str, searchpaths, base_dir: str | None = None) -> Path | None:
     p = Path(name)
     if p.is_absolute() and p.exists():
         return p
     for sp in searchpaths:
+        if sp == "@":  # RenderMan: '@' = the default search path
+            continue
         cand = Path(sp) / name
         if cand.exists():
             return cand
+        if base_dir is not None and not Path(sp).is_absolute():
+            cand = Path(base_dir) / sp / name
+            if cand.exists():
+                return cand
     return None
 
 
@@ -161,7 +169,11 @@ def _dispatch(state, name, args, line, searchpaths, depth):
             fname = fname[0] if fname else None
         if not fname:
             return
-        f = _find_file(str(fname), searchpaths + list(s.options.searchpaths))
+        f = _find_file(
+            str(fname),
+            searchpaths + list(s.options.searchpaths),
+            base_dir=s.options.impl.get("rib_dir"),
+        )
         if f is None:
             log(LOG_WARN, "ReadArchive: cannot find '%s'", fname)
             return

@@ -33,8 +33,36 @@ def carr(vals, fmt=None):
     return ", ".join("%.9ef" % v for v in vals)
 
 
-def gen(rib_path: str, out_path: str, format_wh=None) -> None:
+def _flatten_archives(rib_path, depth=0, root=None) -> str:
+    """Inline ReadArchive includes (the C driver has no RIB parser).
+    Archive names resolve against the TOP scene's directory tree."""
+    import re
+    from pathlib import Path
+
+    rib_path = Path(rib_path)
+    if root is None:
+        root = rib_path.parent
     text = read_rib_text(rib_path)
+    if depth > 8:
+        return text
+
+    def repl(m):
+        name = m.group(1)
+        for sub in (
+            "", "Archives", "Archives/Scenes", "Archives/Objects",
+            "Archives/Cameras", "Archives/Lights", "Archives/Geometry",
+            "Archives/Geometry/Cache", "Archives/Materials", "Archives/Groups",
+        ):
+            cand = Path(root) / sub / name
+            if cand.exists():
+                return _flatten_archives(cand, depth + 1, root)
+        return f"# missing archive {name}"
+
+    return re.sub(r'ReadArchive\s+"([^"]+)"', repl, text)
+
+
+def gen(rib_path: str, out_path: str, format_wh=None) -> None:
+    text = _flatten_archives(rib_path)
     cur = _Cursor(list(tokenize(text)))
     lines = [
         '#include "ri.h"',
@@ -52,21 +80,32 @@ def gen(rib_path: str, out_path: str, format_wh=None) -> None:
         nonlocal n_arr
         decls = []
         setters = []
-        for i, (k, v) in enumerate(params.items()):
+        np_emitted = 0
+        for k, v in params.items():
             base = k.split()[-1]
-            if isinstance(v, list) and v and isinstance(v[0], str):
-                continue  # string params unused by bundled scenes
-            arr = np.asarray(v, dtype=np.float64).reshape(-1)
             name = f"p{n_arr}"
             n_arr += 1
-            decls.append(
-                f"  static RtFloat {name}[] = {{ {carr(arr)} }};"
-            )
-            setters.append(f'  tok[{i}] = "{base}"; val[{i}] = (RtPointer){name};')
+            vals = v if isinstance(v, list) else [v]
+            if vals and isinstance(vals[0], str):
+                # string param: params[i] points to a char* (RtToken*)
+                sval = str(vals[0]).replace('"', '\\"')
+                decls.append(f'  static char *{name} = "{sval}";')
+                setters.append(
+                    f'  tok[{np_emitted}] = "{base}"; '
+                    f"val[{np_emitted}] = (RtPointer)&{name};"
+                )
+            else:
+                arr = np.asarray(vals, dtype=np.float64).reshape(-1)
+                decls.append(f"  static RtFloat {name}[] = {{ {carr(arr)} }};")
+                setters.append(
+                    f'  tok[{np_emitted}] = "{base}"; '
+                    f"val[{np_emitted}] = (RtPointer){name};"
+                )
+            np_emitted += 1
         lines.extend(decls)
         lines.extend(setters)
         lines.append(
-            f"  {fn_name}({', '.join(pos_args)}, {len(params)}, tok, val);"
+            f"  {fn_name}({', '.join(pos_args)}, {np_emitted}, tok, val);"
         )
 
     while True:

@@ -59,6 +59,34 @@ class TestAOParity:
         np.testing.assert_allclose(img_bvh, img_bf, atol=1e-5)
 
 
+PS_RIB = "/root/reference/examples/plane_sphere/Scene_DEFAULT_Set0.rib"
+
+
+@pytest.mark.skipif(not os.path.exists(PS_RIB), reason="reference unavailable")
+class TestPlaneSphereParity:
+    def test_matches_lucille_golden_128(self):
+        """plane_sphere (ReadArchive chains, MOSAIC surfaces, searchpaths)
+        vs the CPU-lucille golden at 128x128 (BASELINE config 2)."""
+        from lucille_tpu.imageio.rgbe import read_hdr
+        from lucille_tpu.render.renderer import Renderer
+        from lucille_tpu.ri.api import RiState
+        from lucille_tpu.rib.parser import parse_rib_file
+
+        golden_path = os.path.join(GOLDEN, "plane_sphere_128_ref.hdr")
+        if not os.path.exists(golden_path):
+            pytest.skip("golden unavailable")
+        golden = read_hdr(golden_path)
+
+        s = RiState()
+        parse_rib_file(PS_RIB, s)
+        assert s.scene.ntriangles == 1986
+        s.Format(128, 128)
+        img = Renderer(s.scene, tile_size=64).render_frame()
+        diff = np.abs(golden - img[::-1]).mean(axis=-1)
+        assert diff.mean() < 0.01, f"mean diff {diff.mean():.4f}"
+        assert (diff > 0.1).mean() < 0.005
+
+
 class TestEmptyScene:
     def test_renders_black(self):
         from lucille_tpu.render.renderer import Renderer
