@@ -1,0 +1,198 @@
+"""Pallas TPU kernel: fused dense ray-triangle intersection.
+
+A hand-scheduled alternative to the XLA paths (accel/bruteforce.py,
+accel/mxu.py) for the dense intersector: one kernel keeps the whole
+triangle SoA resident in VMEM and streams ray blocks through it, fusing
+the Moller-Trumbore chain, window tests and the argmin reduction — no
+HBM round-trips for intermediates (the measured bottleneck of the
+unfused VPU path).
+
+Memory plan (per the TPU model: HBM -> VMEM -> compute):
+- triangles: (16, N) f32 in VMEM, rows = [v0|e1|e2|ng-ish pad] xyz
+  components; N up to ~200k fits the ~16 MB VMEM budget alongside ray
+  blocks;
+- rays: grid over blocks of RAY_BLOCK rays, each block a (8, RAY_BLOCK)
+  VMEM tile, rows = [ox oy oz dx dy dz pad pad];
+- compute: (RAY_BLOCK, TC) broadcasts per triangle tile inside a
+  fori_loop — all VPU-elementwise, 8x128-aligned;
+- outputs: t/u/v (RAY_BLOCK,) f32 + tri (RAY_BLOCK,) i32 per block.
+
+Used opportunistically: `pallas_closest_hit` matches the dispatch
+contract; tests run it in interpreter mode on CPU, the TPU build is
+gated behind scene sizes that fit VMEM.
+"""
+
+from __future__ import annotations
+
+from functools import partial
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from lucille_tpu.accel.bruteforce import DET_EPS
+
+RAY_BLOCK = 256  # rays per grid step
+TC = 512  # triangles per inner tile
+
+
+def _isect_kernel(rays_ref, tris_ref, t_ref, u_ref, v_ref, tri_ref, *, n_tri_tiles):
+    """One ray block against every triangle tile."""
+    ox = rays_ref[0:1, :]  # (1, RB)
+    oy = rays_ref[1:2, :]
+    oz = rays_ref[2:3, :]
+    dx = rays_ref[3:4, :]
+    dy = rays_ref[4:5, :]
+    dz = rays_ref[5:6, :]
+
+    def body(i, carry):
+        t_best, u_best, v_best, tri_best = carry
+        base = i * TC
+        v0x = tris_ref[0, pl.ds(base, TC)][None, :]  # (1, TC)
+        v0y = tris_ref[1, pl.ds(base, TC)][None, :]
+        v0z = tris_ref[2, pl.ds(base, TC)][None, :]
+        e1x = tris_ref[3, pl.ds(base, TC)][None, :]
+        e1y = tris_ref[4, pl.ds(base, TC)][None, :]
+        e1z = tris_ref[5, pl.ds(base, TC)][None, :]
+        e2x = tris_ref[6, pl.ds(base, TC)][None, :]
+        e2y = tris_ref[7, pl.ds(base, TC)][None, :]
+        e2z = tris_ref[8, pl.ds(base, TC)][None, :]
+
+        # p = d x e2 : (RB, TC) per component (broadcast (RB,1)x(1,TC))
+        dxT = dx.T  # (RB, 1)
+        dyT = dy.T
+        dzT = dz.T
+        px = dyT * e2z - dzT * e2y
+        py = dzT * e2x - dxT * e2z
+        pz = dxT * e2y - dyT * e2x
+        a = e1x * px + e1y * py + e1z * pz
+        valid = jnp.abs(a) > DET_EPS
+        inva = jnp.where(valid, 1.0 / jnp.where(valid, a, 1.0), 0.0)
+
+        sx = ox.T - v0x
+        sy = oy.T - v0y
+        sz = oz.T - v0z
+        qx = sy * e1z - sz * e1y
+        qy = sz * e1x - sx * e1z
+        qz = sx * e1y - sy * e1x
+
+        u = (sx * px + sy * py + sz * pz) * inva
+        v = (qx * dxT + qy * dyT + qz * dzT) * inva
+        t = (e2x * qx + e2y * qy + e2z * qz) * inva
+
+        hit = (
+            valid
+            & (u >= 0.0)
+            & (u <= 1.0)
+            & (v >= 0.0)
+            & (u + v <= 1.0)
+            & (t > 0.0)
+            & (t < t_best)
+        )
+        t_m = jnp.where(hit, t, jnp.inf)
+        j = jnp.argmin(t_m, axis=1, keepdims=True)  # (RB, 1)
+        tc = jnp.take_along_axis(t_m, j, axis=1)
+        better = tc < t_best
+        t_best = jnp.where(better, tc, t_best)
+        u_best = jnp.where(better, jnp.take_along_axis(u, j, axis=1), u_best)
+        v_best = jnp.where(better, jnp.take_along_axis(v, j, axis=1), v_best)
+        tri_best = jnp.where(
+            better, base + j.astype(jnp.int32), tri_best
+        )
+        return (t_best, u_best, v_best, tri_best)
+
+    init = (
+        jnp.full((RAY_BLOCK, 1), jnp.inf, jnp.float32),
+        jnp.zeros((RAY_BLOCK, 1), jnp.float32),
+        jnp.zeros((RAY_BLOCK, 1), jnp.float32),
+        jnp.full((RAY_BLOCK, 1), -1, jnp.int32),
+    )
+    t_best, u_best, v_best, tri_best = jax.lax.fori_loop(
+        0, n_tri_tiles, body, init
+    )
+    t_ref[:, :] = t_best.T
+    u_ref[:, :] = u_best.T
+    v_ref[:, :] = v_best.T
+    tri_ref[:, :] = tri_best.T
+
+
+# imported late so module import works without pallas (e.g. docs builds)
+from jax.experimental import pallas as pl  # noqa: E402
+
+try:  # pltpu is TPU-only; interpret mode works without it
+    from jax.experimental.pallas import tpu as pltpu
+
+    _VMEM = pltpu.VMEM
+except ImportError:  # pragma: no cover
+    pltpu = None
+    _VMEM = None
+
+
+def _pack(scene):
+    """Scene SoA -> (16, Npad) f32 triangle matrix + (npad)"""
+    n = scene.tri_v0.shape[0]
+    npad = -(-n // TC) * TC
+    tris = jnp.zeros((16, npad), jnp.float32)
+    tris = tris.at[0:3, :n].set(scene.tri_v0.T)
+    tris = tris.at[3:6, :n].set(scene.tri_e1.T)
+    tris = tris.at[6:9, :n].set(scene.tri_e2.T)
+    return tris, npad
+
+
+@partial(jax.jit, static_argnames=("interpret",))
+def pallas_closest_hit(scene, org, dirn, interpret: bool = False):
+    """Closest hit via the fused Pallas kernel.  B must be a multiple of
+    RAY_BLOCK (the renderer's wavefronts are); returns the dispatch dict."""
+    B = org.shape[0]
+    assert B % RAY_BLOCK == 0, f"B={B} not a multiple of {RAY_BLOCK}"
+    tris, npad = _pack(scene)
+    n_tri_tiles = npad // TC
+
+    rays = jnp.zeros((8, B), jnp.float32)
+    rays = rays.at[0:3].set(org.T)
+    rays = rays.at[3:6].set(dirn.T)
+
+    grid = (B // RAY_BLOCK,)
+    kernel = partial(_isect_kernel, n_tri_tiles=n_tri_tiles)
+    out_shape = [
+        jax.ShapeDtypeStruct((1, B), jnp.float32),  # t
+        jax.ShapeDtypeStruct((1, B), jnp.float32),  # u
+        jax.ShapeDtypeStruct((1, B), jnp.float32),  # v
+        jax.ShapeDtypeStruct((1, B), jnp.int32),  # tri
+    ]
+    ray_spec = pl.BlockSpec(
+        (8, RAY_BLOCK), lambda i: (0, i), memory_space=_VMEM
+    ) if _VMEM else pl.BlockSpec((8, RAY_BLOCK), lambda i: (0, i))
+    tri_spec = (
+        pl.BlockSpec((16, npad), lambda i: (0, 0), memory_space=_VMEM)
+        if _VMEM
+        else pl.BlockSpec((16, npad), lambda i: (0, 0))
+    )
+    out_spec = (
+        pl.BlockSpec((1, RAY_BLOCK), lambda i: (0, i), memory_space=_VMEM)
+        if _VMEM
+        else pl.BlockSpec((1, RAY_BLOCK), lambda i: (0, i))
+    )
+
+    t, u, v, tri = pl.pallas_call(
+        kernel,
+        grid=grid,
+        in_specs=[ray_spec, tri_spec],
+        out_specs=[out_spec] * 4,
+        out_shape=out_shape,
+        interpret=interpret,
+    )(rays, tris)
+
+    t = t[0]
+    u = u[0]
+    v = v[0]
+    tri = tri[0]
+    return {
+        "t": t,
+        "u": u,
+        "v": v,
+        "tri": jnp.minimum(tri, scene.tri_v0.shape[0] - 1),
+        "hit": tri >= 0,
+        "ntests": B * scene.n_tris,
+        "ntrav": 0,
+    }

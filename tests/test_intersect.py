@@ -201,3 +201,29 @@ class TestReferenceScene:
         np.testing.assert_allclose(
             np.asarray(r1["t"])[h], np.asarray(r2["t"])[h], rtol=1e-4
         )
+
+
+class TestPallasKernel:
+    def test_interpret_mode_parity(self):
+        """Fused Pallas intersection kernel vs the brute-force oracle
+        (interpreter mode — compiled mode needs real TPU hardware)."""
+        import jax.numpy as jnp
+
+        from lucille_tpu.accel.bruteforce import brute_closest_hit
+        from lucille_tpu.accel.pallas_isect import RAY_BLOCK, pallas_closest_hit
+
+        v0, v1, v2 = _random_soup(300, seed=2)
+        sc = _scene_from_tris(v0, v1, v2, "bruteforce")
+        rng = np.random.default_rng(31)
+        B = RAY_BLOCK * 2
+        org = jnp.asarray(rng.uniform(-8, 8, (B, 3)), jnp.float32)
+        d = rng.normal(size=(B, 3))
+        d /= np.linalg.norm(d, axis=-1, keepdims=True)
+        dirn = jnp.asarray(d, jnp.float32)
+        r1 = brute_closest_hit(sc, org, dirn)
+        r2 = pallas_closest_hit(sc, org, dirn, interpret=True)
+        h = np.asarray(r1["hit"])
+        np.testing.assert_array_equal(h, np.asarray(r2["hit"]))
+        np.testing.assert_allclose(
+            np.asarray(r1["t"])[h], np.asarray(r2["t"])[h], rtol=1e-4
+        )
