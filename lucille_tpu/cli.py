@@ -147,17 +147,31 @@ def main(argv=None) -> int:
         drivers.append(drv)
 
     last = [0.0]
+    t_start = [None]
 
     def tile_cb(x0, y0, tile):
         for drv in drivers:
             drv.write(x0, y0, tile)
 
     def progress_cb(frac):
+        """Progress bar + ETA (reference progress_bar, render.c:985-1041)."""
         for drv in drivers:
             drv.progress(frac)
-        if args.verbose and time.time() - last[0] > 0.5:
+        if t_start[0] is None:
+            t_start[0] = time.time()
+        if args.verbose and (time.time() - last[0] > 0.5 or frac >= 1.0):
             last[0] = time.time()
-            print(f"\r[render] {frac * 100:5.1f}%", end="", flush=True)
+            elapsed = time.time() - t_start[0]
+            eta = elapsed / max(frac, 1e-6) * (1.0 - frac)
+            nbar = int(frac * 32)
+            bar = "=" * nbar + " " * (32 - nbar)
+            print(
+                f"\r|{bar}| {frac * 100:3.0f}%   "
+                f"ETA {int(eta // 60):2d}:{int(eta % 60):02d}  "
+                f"Elap {int(elapsed // 60):2d}:{int(elapsed % 60):02d}",
+                end="",
+                flush=True,
+            )
 
     image = renderer.render_frame(tile_cb=tile_cb, progress_cb=progress_cb)
     del image

@@ -393,6 +393,14 @@ class RiState:
                     opt.enable_indirect_lighting = flag
                 elif base == "caustics":
                     opt.enable_caustics_lighting = flag
+        elif name == "limits":
+            for key, val in params.items():
+                base = key.split()[-1]
+                if base == "bucketsize":
+                    arr = np.asarray(val, dtype=np.float64).reshape(-1)
+                    if arr.size:
+                        # tiles are square; honor the first extent
+                        opt.tile_size = max(8, int(arr[0]))
         elif name == "renderer":
             for key, val in params.items():
                 base = key.split()[-1]
