@@ -90,15 +90,21 @@ def _isect_kernel(rays_ref, tris_ref, t_ref, u_ref, v_ref, tri_ref, *, n_tri_til
             & (t < t_best)
         )
         t_m = jnp.where(hit, t, jnp.inf)
-        j = jnp.argmin(t_m, axis=1, keepdims=True)  # (RB, 1)
-        tc = jnp.take_along_axis(t_m, j, axis=1)
+        # gather-free argmin selection (Mosaic has no take_along_axis):
+        # min-reduce t, recover the column by min-reducing masked iota,
+        # then select u/v with a masked sum-reduce.
+        tc = jnp.min(t_m, axis=1, keepdims=True)  # (RB, 1)
+        col = jax.lax.broadcasted_iota(jnp.int32, t_m.shape, 1)
+        is_min = t_m <= tc
+        j = jnp.min(jnp.where(is_min, col, t_m.shape[1]), axis=1, keepdims=True)
+        sel = col == j
+        u_sel = jnp.sum(jnp.where(sel, u, 0.0), axis=1, keepdims=True)
+        v_sel = jnp.sum(jnp.where(sel, v, 0.0), axis=1, keepdims=True)
         better = tc < t_best
         t_best = jnp.where(better, tc, t_best)
-        u_best = jnp.where(better, jnp.take_along_axis(u, j, axis=1), u_best)
-        v_best = jnp.where(better, jnp.take_along_axis(v, j, axis=1), v_best)
-        tri_best = jnp.where(
-            better, base + j.astype(jnp.int32), tri_best
-        )
+        u_best = jnp.where(better, u_sel, u_best)
+        v_best = jnp.where(better, v_sel, v_best)
+        tri_best = jnp.where(better, base + j, tri_best)
         return (t_best, u_best, v_best, tri_best)
 
     init = (
