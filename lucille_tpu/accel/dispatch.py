@@ -10,9 +10,24 @@ from __future__ import annotations
 from lucille_tpu.accel import bruteforce, mxu, traverse
 
 
+def _pallas_ok(scene, B, tmax, tmin) -> bool:
+    """The fused Pallas kernel serves dense queries when the wavefront is
+    RAY_BLOCK-aligned and no non-default t window is requested (closest
+    hit); measured 2x the MXU path and 6x the VPU path on TPU v5e."""
+    from lucille_tpu.accel.pallas_isect import RAY_BLOCK
+
+    return B % RAY_BLOCK == 0 and tmin == 0.0 and tmax is None
+
+
 def closest_hit(scene, org, dirn, tmax=None, tmin: float = 0.0):
     if scene.accel == "bvh" and scene.n_nodes > 0:
         return traverse.bvh_closest_hit(scene, org, dirn, tmax=tmax, tmin=tmin)
+    if scene.accel == "pallas":
+        if _pallas_ok(scene, org.shape[0], tmax, tmin):
+            from lucille_tpu.accel.pallas_isect import pallas_closest_hit
+
+            return pallas_closest_hit(scene, org, dirn)
+        return mxu.mxu_closest_hit(scene, org, dirn, tmax=tmax, tmin=tmin)
     if scene.accel == "mxu":
         return mxu.mxu_closest_hit(scene, org, dirn, tmax=tmax, tmin=tmin)
     return bruteforce.brute_closest_hit(scene, org, dirn, tmax=tmax, tmin=tmin)
@@ -21,6 +36,12 @@ def closest_hit(scene, org, dirn, tmax=None, tmin: float = 0.0):
 def any_hit(scene, org, dirn, tmax=None, tmin: float = 0.0):
     if scene.accel == "bvh" and scene.n_nodes > 0:
         return traverse.bvh_any_hit(scene, org, dirn, tmax=tmax, tmin=tmin)
+    if scene.accel == "pallas":
+        from lucille_tpu.accel.pallas_isect import RAY_BLOCK, pallas_any_hit
+
+        if org.shape[0] % RAY_BLOCK == 0 and tmin == 0.0:
+            return pallas_any_hit(scene, org, dirn, tmax=tmax)
+        return mxu.mxu_any_hit(scene, org, dirn, tmax=tmax, tmin=tmin)
     if scene.accel == "mxu":
         return mxu.mxu_any_hit(scene, org, dirn, tmax=tmax, tmin=tmin)
     return bruteforce.brute_any_hit(scene, org, dirn, tmax=tmax, tmin=tmin)

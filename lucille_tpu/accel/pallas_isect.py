@@ -145,8 +145,15 @@ def _pack(scene):
     return tris, npad
 
 
+def pallas_closest_hit(scene, org, dirn, interpret: bool | None = None):
+    if interpret is None:
+        # compiled Mosaic needs a real TPU; interpret elsewhere (tests)
+        interpret = jax.default_backend() == "cpu"
+    return _pallas_closest_hit(scene, org, dirn, interpret)
+
+
 @partial(jax.jit, static_argnames=("interpret",))
-def pallas_closest_hit(scene, org, dirn, interpret: bool = False):
+def _pallas_closest_hit(scene, org, dirn, interpret: bool = False):
     """Closest hit via the fused Pallas kernel.  B must be a multiple of
     RAY_BLOCK (the renderer's wavefronts are); returns the dispatch dict."""
     B = org.shape[0]
@@ -202,3 +209,108 @@ def pallas_closest_hit(scene, org, dirn, interpret: bool = False):
         "ntests": B * scene.n_tris,
         "ntrav": 0,
     }
+
+
+def _anyhit_kernel(rays_ref, tris_ref, occ_ref, *, n_tri_tiles):
+    """Occlusion-only variant: fused MT + window tests + any-reduce."""
+    ox = rays_ref[0:1, :]
+    oy = rays_ref[1:2, :]
+    oz = rays_ref[2:3, :]
+    dx = rays_ref[3:4, :]
+    dy = rays_ref[4:5, :]
+    dz = rays_ref[5:6, :]
+    tmax = rays_ref[6:7, :]  # per-ray t ceiling in row 6
+
+    def body(i, occ):
+        base = i * TC
+        v0x = tris_ref[0, pl.ds(base, TC)][None, :]
+        v0y = tris_ref[1, pl.ds(base, TC)][None, :]
+        v0z = tris_ref[2, pl.ds(base, TC)][None, :]
+        e1x = tris_ref[3, pl.ds(base, TC)][None, :]
+        e1y = tris_ref[4, pl.ds(base, TC)][None, :]
+        e1z = tris_ref[5, pl.ds(base, TC)][None, :]
+        e2x = tris_ref[6, pl.ds(base, TC)][None, :]
+        e2y = tris_ref[7, pl.ds(base, TC)][None, :]
+        e2z = tris_ref[8, pl.ds(base, TC)][None, :]
+
+        dxT = dx.T
+        dyT = dy.T
+        dzT = dz.T
+        px = dyT * e2z - dzT * e2y
+        py = dzT * e2x - dxT * e2z
+        pz = dxT * e2y - dyT * e2x
+        a = e1x * px + e1y * py + e1z * pz
+        valid = jnp.abs(a) > DET_EPS
+        inva = jnp.where(valid, 1.0 / jnp.where(valid, a, 1.0), 0.0)
+        sx = ox.T - v0x
+        sy = oy.T - v0y
+        sz = oz.T - v0z
+        qx = sy * e1z - sz * e1y
+        qy = sz * e1x - sx * e1z
+        qz = sx * e1y - sy * e1x
+        u = (sx * px + sy * py + sz * pz) * inva
+        v = (qx * dxT + qy * dyT + qz * dzT) * inva
+        t = (e2x * qx + e2y * qy + e2z * qz) * inva
+        hit = (
+            valid
+            & (u >= 0.0)
+            & (u <= 1.0)
+            & (v >= 0.0)
+            & (u + v <= 1.0)
+            & (t > 0.0)
+            & (t < tmax.T)
+        )
+        return occ | jnp.any(hit, axis=1, keepdims=True)
+
+    occ0 = jnp.zeros((RAY_BLOCK, 1), dtype=jnp.bool_)
+    occ = jax.lax.fori_loop(0, n_tri_tiles, body, occ0)
+    occ_ref[:, :] = occ.astype(jnp.float32).T
+
+
+def pallas_any_hit(scene, org, dirn, tmax=None, interpret: bool | None = None):
+    if interpret is None:
+        interpret = jax.default_backend() == "cpu"
+    return _pallas_any_hit(scene, org, dirn, tmax, interpret)
+
+
+@partial(jax.jit, static_argnames=("interpret",))
+def _pallas_any_hit(scene, org, dirn, tmax=None, interpret: bool = False):
+    """Occlusion query via the fused Pallas kernel; returns bool (B,)."""
+    B = org.shape[0]
+    assert B % RAY_BLOCK == 0
+    tris, npad = _pack(scene)
+    n_tri_tiles = npad // TC
+    rays = jnp.zeros((8, B), jnp.float32)
+    rays = rays.at[0:3].set(org.T)
+    rays = rays.at[3:6].set(dirn.T)
+    if tmax is None:
+        rays = rays.at[6].set(jnp.inf)
+    else:
+        rays = rays.at[6].set(jnp.broadcast_to(jnp.asarray(tmax, jnp.float32), (B,)))
+
+    grid = (B // RAY_BLOCK,)
+    kernel = partial(_anyhit_kernel, n_tri_tiles=n_tri_tiles)
+    ray_spec = (
+        pl.BlockSpec((8, RAY_BLOCK), lambda i: (0, i), memory_space=_VMEM)
+        if _VMEM
+        else pl.BlockSpec((8, RAY_BLOCK), lambda i: (0, i))
+    )
+    tri_spec = (
+        pl.BlockSpec((16, npad), lambda i: (0, 0), memory_space=_VMEM)
+        if _VMEM
+        else pl.BlockSpec((16, npad), lambda i: (0, 0))
+    )
+    out_spec = (
+        pl.BlockSpec((1, RAY_BLOCK), lambda i: (0, i), memory_space=_VMEM)
+        if _VMEM
+        else pl.BlockSpec((1, RAY_BLOCK), lambda i: (0, i))
+    )
+    occ = pl.pallas_call(
+        kernel,
+        grid=grid,
+        in_specs=[ray_spec, tri_spec],
+        out_specs=out_spec,
+        out_shape=jax.ShapeDtypeStruct((1, B), jnp.float32),
+        interpret=interpret,
+    )(rays, tris)
+    return occ[0] > 0.5

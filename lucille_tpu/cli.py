@@ -50,7 +50,7 @@ def build_argparser() -> argparse.ArgumentParser:
     )
     p.add_argument(
         "--accel",
-        choices=["auto", "bvh", "bruteforce", "mxu"],
+        choices=["auto", "bvh", "bruteforce", "mxu", "pallas"],
         help="accel override (auto = mxu for small scenes, bvh for big)",
     )
     p.add_argument(

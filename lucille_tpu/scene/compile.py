@@ -127,7 +127,15 @@ def compile_scene(
     # ---------------- BVH ------------------------------------------------
     accel_method = desc.options.accel_method
     if accel_method == "auto":
-        accel_method = "mxu" if n_tris <= AUTO_MXU_MAX_TRIS else ACCEL_BVH
+        if n_tris <= AUTO_MXU_MAX_TRIS:
+            # on TPU the fused Pallas kernel wins (60 vs 31 Mrays/s on the
+            # bench scene); elsewhere (CPU tests) the XLA matmul path does
+            import jax
+
+            backend = jax.default_backend()
+            accel_method = "pallas" if backend not in ("cpu",) else "mxu"
+        else:
+            accel_method = ACCEL_BVH
     if build_bvh is None:
         build_bvh = accel_method == ACCEL_BVH and n_tris > 0
     if build_bvh and n_tris > 0:
@@ -164,7 +172,11 @@ def compile_scene(
         node_first = np.zeros(1, dtype=np.int32)
         node_count = np.zeros(1, dtype=np.int32)
         n_nodes = 0
-        accel = "mxu" if accel_method == "mxu" else "bruteforce"
+        accel = (
+            accel_method
+            if accel_method in ("mxu", "pallas")
+            else "bruteforce"
+        )
 
     # ---------------- padding -------------------------------------------
     n_pad = max(PAD_MULTIPLE, -(-max(n_tris, 1) // PAD_MULTIPLE) * PAD_MULTIPLE)
