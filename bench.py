@@ -33,18 +33,22 @@ def main() -> int:
     from lucille_tpu.ri.api import RiState
     from lucille_tpu.rib.parser import parse_rib_file
 
-    width, height, tile = 640, 480, 128
+    import os
+
+    width, height = 640, 480
+    tile = int(os.environ.get("BENCH_TILE", "240"))
 
     state = RiState()
     parse_rib_file(RIB, state)
     state.Format(width, height)
     renderer = Renderer(state.scene, tile_size=tile)
 
-    # warmup: compile the tile kernel once (first tile)
-    warm = Renderer(state.scene, tile_size=tile)
-    warm.desc.options.width = tile
-    warm.desc.options.height = tile
-    warm.render_frame()
+    # warmup frame: pays the one-time device-claim latency + kernel
+    # compile on the SAME renderer (a fresh Renderer would close over new
+    # constants and recompile)
+    renderer.render_frame()
+    renderer.stats.nrays = 0
+    renderer.stats.render_seconds = 0.0
 
     t0 = time.perf_counter()
     renderer.render_frame()

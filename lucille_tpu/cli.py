@@ -55,7 +55,7 @@ def build_argparser() -> argparse.ArgumentParser:
     )
     p.add_argument(
         "--method",
-        choices=["ao", "whitted", "pathtrace", "dirtmap"],
+        choices=["ao", "whitted", "pathtrace", "dirtmap", "shader"],
         help="integrator override (Option \"renderer\" \"method\")",
     )
     p.add_argument("--nthreads", type=int, help="accepted for lsh compatibility")

@@ -49,6 +49,7 @@ def build_tile_kernel(
     max_depth: int,
     bgcolor=(0.0, 0.0, 0.0),
     textures=None,
+    shader_table=None,
 ):
     """Compile-once tile kernel: (scene, x0, y0, jitter, weights, key) ->
     ((tile_h, tile_w, 3) radiance, aux).  Per-frame constants (camera,
@@ -59,6 +60,9 @@ def build_tile_kernel(
     from lucille_tpu.transport.dispatch import get_integrator
 
     integrator = get_integrator(method)
+    extra_kwargs = {}
+    if method in ("shader", "sl", "shade"):
+        extra_kwargs["shader_table"] = shader_table
     S = xsamples * ysamples
 
     @jax.jit
@@ -84,6 +88,7 @@ def build_tile_kernel(
             max_depth=max_depth,
             bgcolor=bgcolor,
             textures=textures,
+            **extra_kwargs,
         )
         # pixel-filter reconstruction over subsamples (render.c:715-823
         # box-averages; RIB PixelFilter generalizes via constant weights)
@@ -133,6 +138,11 @@ class Renderer:
         shape = (tile_w, tile_h, xsamples, ysamples, opt.render_method,
                  opt.gather_nsamples, opt.max_ray_depth)
         if self._kernel_shape != shape:
+            shader_table = None
+            if opt.render_method in ("shader", "sl", "shade"):
+                from lucille_tpu.transport.shaded import build_shader_table
+
+                shader_table = build_shader_table(self.desc)
             self._kernel = build_tile_kernel(
                 self._frozen_camera,
                 self.lights,
@@ -145,6 +155,7 @@ class Renderer:
                 opt.max_ray_depth,
                 opt.bgcolor,
                 textures=self.textures,
+                shader_table=shader_table,
             )
             self._kernel_shape = shape
         return self._kernel

@@ -54,6 +54,18 @@ def get_integrator(name: str):
             )
 
         return path_fn
+    if name in ("shader", "sl", "shade"):
+        from lucille_tpu.transport.shaded import shaded_radiance
+
+        def shaded_fn(scene, lights, org, dirn, key, *, gather_nsamples=64,
+                      max_depth=8, bgcolor=(0, 0, 0), textures=None,
+                      shader_table=None):
+            return shaded_radiance(
+                scene, lights, org, dirn, key, shader_table=shader_table,
+                max_depth=max_depth, bgcolor=bgcolor, textures=textures,
+            )
+
+        return shaded_fn
     if name == "dirtmap":
         def dirt_fn(scene, lights, org, dirn, key, *, gather_nsamples=64,
                     max_depth=8, bgcolor=(0, 0, 0), textures=None):
