@@ -90,6 +90,21 @@ class FramebufferDriver(FileDriver):
         return super().open(fname, width, height)
 
 
+class OpenEXRDriver(FileDriver):
+    """OpenEXR output (openexrdrv.c, registered under HAVE_OPENEXR at
+    render.c:166-234).  Uses the built-in scanline codec (imageio/exr.py);
+    forces an .exr extension so save_image dispatches to it."""
+
+    name = "openexr"
+
+    def open(self, fname, width, height):
+        if "." not in fname:
+            fname += ".exr"
+        elif not fname.lower().endswith(".exr"):
+            fname = fname.rsplit(".", 1)[0] + ".exr"
+        return super().open(fname, width, height)
+
+
 _registry: Registry = Registry("display")
 
 
@@ -112,6 +127,8 @@ def _socket_factory():
 # default registrations (ri_render_init, render.c:224-279)
 register_display_driver("file", FileDriver)
 register_display_driver("hdr", FileDriver)
+register_display_driver("openexr", OpenEXRDriver)
+register_display_driver("exr", OpenEXRDriver)
 register_display_driver("framebuffer", FramebufferDriver)
 register_display_driver("fb", FramebufferDriver)
 register_display_driver("null", NullDriver)

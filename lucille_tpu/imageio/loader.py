@@ -46,6 +46,10 @@ def load_image(path) -> np.ndarray:
         return read_hdr(path)
     if ext == ".pfm":
         return _read_pfm(path)
+    if ext == ".exr":
+        from lucille_tpu.imageio.exr import read_exr
+
+        return read_exr(path)
     try:
         from PIL import Image
 
@@ -62,6 +66,10 @@ def save_image(path, image: np.ndarray) -> None:
         write_hdr(path, image)
     elif ext == ".pfm":
         _write_pfm(path, image)
+    elif ext == ".exr":
+        from lucille_tpu.imageio.exr import write_exr
+
+        write_exr(path, image)
     else:
         try:
             from PIL import Image

@@ -202,11 +202,20 @@ class Renderer:
         timer.start("Render frame")
         ntests_total = 0
         ntrav_total = 0
+        # dispatch phase: JAX execution is async — enqueue every tile
+        # kernel before the first blocking host transfer, so device
+        # compute overlaps host-side collection (the TPU link is remote;
+        # per-call latency would otherwise serialize with compute)
+        pending = []
         for ti, (x0, y0, _i, _j) in enumerate(tiles):
             tkey = jax.random.fold_in(key, ti)
-            img, aux = kernel(
-                self.scene, jnp.int32(x0), jnp.int32(y0), jitter, weights, tkey
+            pending.append(
+                kernel(
+                    self.scene, jnp.int32(x0), jnp.int32(y0), jitter, weights, tkey
+                )
             )
+        for ti, (x0, y0, _i, _j) in enumerate(tiles):
+            img, aux = pending[ti]
             tile_np = np.asarray(img)
             th = min(tile_h, H - y0)
             tw = min(tile_w, W - x0)

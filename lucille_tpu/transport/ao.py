@@ -95,6 +95,28 @@ def ao_radiance(
     P_off = P + Ns * scene.eps  # eps-offset origin (ambientocclusion.c:68)
 
     nsamples = ntheta * nphi
+
+    from lucille_tpu.accel.pallas_ao import (
+        MAX_TRIS_FOR_MEGAKERNEL,
+        RAY_BLOCK,
+        pallas_ao_occlusion,
+    )
+
+    use_megakernel = (
+        scene.accel == "pallas"
+        and B % RAY_BLOCK == 0
+        and scene.tri_v0.shape[0] <= MAX_TRIS_FOR_MEGAKERNEL
+    )
+    if use_megakernel:
+        # fused gather: strata loop + MT + reduction in ONE Pallas kernel
+        # (triangles VMEM-resident across all strata; pallas_ao.py)
+        occ = pallas_ao_occlusion(
+            scene, P_off, b0, b1, b2, hit, key, ntheta, nphi
+        )
+        return _finish(
+            scene, res, hit, occ, nsamples, background, textures, B
+        )
+
     strata = jnp.arange(nsamples, dtype=jnp.int32)
 
     def step(occ_count, si):
@@ -117,7 +139,12 @@ def ao_radiance(
         return occ_count + (occluded & hit).astype(jnp.float32), None
 
     occ, _ = jax.lax.scan(step, jnp.zeros((B,), jnp.float32), strata)
+    return _finish(scene, res, hit, occ, nsamples, background, textures, B)
 
+
+def _finish(scene, res, hit, occ, nsamples, background, textures, B):
+    """Shared epilogue: occlusion count -> radiance + texture modulation
+    + statistics (ambientocclusion.c:135-150, 393-400)."""
     lo = (nsamples - occ) / nsamples  # m = 1.0 (ambientocclusion.c:146)
     radiance = jnp.where(hit, lo, background)[..., None] * jnp.ones(
         (1, 3), jnp.float32

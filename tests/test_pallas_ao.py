@@ -1,0 +1,87 @@
+"""AO megakernel parity: the fused Pallas gather kernel must reproduce
+the unfused path exactly when fed the same stratified jitter."""
+
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+
+from test_intersect import _random_soup, _scene_from_tris
+
+
+def _reference_occlusion(sc, P, b0, b1, b2, hit, key, ntheta, nphi):
+    """Recompute the kernel's math with plain JAX + brute-force any-hit,
+    using the identical jitter stream."""
+    from lucille_tpu.accel.bruteforce import brute_any_hit
+
+    B = P.shape[0]
+    ns = ntheta * nphi
+    jitter = jax.random.uniform(key, (2 * ns, B), dtype=jnp.float32)
+    count = jnp.zeros(B)
+    for s in range(ns):
+        u0 = jitter[2 * s]
+        u1 = jitter[2 * s + 1]
+        z0 = (float(s % ntheta) + u0) / ntheta
+        z1 = (float(s // ntheta) + u1) / nphi
+        cos_t = jnp.sqrt(z0)
+        phi = 2 * jnp.pi * z1
+        lx = jnp.cos(phi) * cos_t
+        ly = jnp.sin(phi) * cos_t
+        lz = jnp.sqrt(jnp.maximum(1 - z0, 0))
+        w = lx[:, None] * b0 + ly[:, None] * b1 + lz[:, None] * b2
+        occl = brute_any_hit(sc, P, w)
+        count = count + (occl & hit).astype(jnp.float32)
+    return count
+
+
+@pytest.mark.parametrize("ntheta,nphi", [(4, 4), (8, 8)])
+def test_megakernel_matches_unfused(ntheta, nphi):
+    from lucille_tpu.accel.pallas_ao import pallas_ao_occlusion
+    from lucille_tpu.transport.ao import ortho_basis
+
+    v0, v1, v2 = _random_soup(700, seed=5)
+    sc = _scene_from_tris(v0, v1, v2, "pallas")
+    B = 256
+    rng = np.random.default_rng(1)
+    P = jnp.asarray(rng.uniform(-4, 4, (B, 3)), jnp.float32)
+    N = rng.normal(size=(B, 3))
+    N /= np.linalg.norm(N, axis=-1, keepdims=True)
+    b0, b1, b2 = ortho_basis(jnp.asarray(N, jnp.float32))
+    hit = jnp.asarray(rng.uniform(size=B) < 0.8)
+    key = jax.random.key(7)
+
+    occ = pallas_ao_occlusion(
+        sc, P, b0, b1, b2, hit, key, ntheta, nphi, interpret=True
+    )
+    ref = _reference_occlusion(sc, P, b0, b1, b2, hit, key, ntheta, nphi)
+    np.testing.assert_array_equal(np.asarray(occ), np.asarray(ref))
+
+
+def test_ao_radiance_uses_megakernel_and_matches_scan():
+    """End-to-end ao_radiance on accel=pallas (megakernel) vs bruteforce
+    (scan): different RNG streams, so compare image statistics."""
+    from lucille_tpu.transport.ao import ao_radiance
+
+    v0, v1, v2 = _random_soup(400, seed=2, spread=2.0, size=0.8)
+    sc_p = _scene_from_tris(v0, v1, v2, "pallas")
+    sc_b = _scene_from_tris(v0, v1, v2, "bruteforce")
+    B = 512
+    rng = np.random.default_rng(3)
+    org = jnp.asarray(rng.uniform(-3, 3, (B, 3)), jnp.float32)
+    d = rng.normal(size=(B, 3))
+    d /= np.linalg.norm(d, axis=-1, keepdims=True)
+    dirn = jnp.asarray(d, jnp.float32)
+    key = jax.random.key(0)
+
+    rad_p, aux_p = ao_radiance(sc_p, org, dirn, key, 8, 8)
+    rad_b, aux_b = ao_radiance(sc_b, org, dirn, key, 8, 8)
+    assert bool(jnp.array_equal(aux_p["hit"], aux_b["hit"]))
+    assert int(aux_p["nrays"]) == int(aux_b["nrays"])
+    hit = np.asarray(aux_p["hit"])
+    a = np.asarray(rad_p)[hit, 0]
+    b = np.asarray(rad_b)[hit, 0]
+    # same stratified estimator, independent jitter: per-ray values agree
+    # to MC noise (64 strata -> sigma ~ 1/16), means much tighter
+    assert abs(a.mean() - b.mean()) < 0.02
+    assert np.abs(a - b).max() < 0.25
