@@ -6,27 +6,57 @@ wavefront formulation runs that as a `lax.scan` of occlusion queries —
 one Pallas launch per stratum, each re-streaming the triangle SoA from
 HBM and bouncing the (8, B) ray buffers through HBM between steps.
 
-This kernel fuses the WHOLE gather loop:
+This kernel fuses the WHOLE gather loop.  Its shape comes from four
+measured bottlenecks (each version was profiled on TPU v5e):
 
-- triangles stay VMEM-resident across *all* strata (one HBM read per
-  ray block instead of ``nsamples``);
-- hemisphere directions are generated inside the kernel from the
-  shading basis + a streamed jitter block (the stratified
-  ``cos_theta = sqrt((i+u)/n)`` sampling of ambientocclusion.c:85-110),
-  so no per-stratum ray buffers ever exist in HBM;
-- the Moller-Trumbore terms that depend only on (ray origin, triangle)
-  — ``s = o - v0``, ``q = s x e1``, ``e2.q`` — are hoisted out of the
-  strata loop (the origin is fixed per primary hit), cutting ~40% of
-  the inner-loop FLOPs vs. a full per-stratum MT evaluation;
-- per-stratum occlusion flags accumulate in a VMEM scratch and reduce
-  to a single occlusion count per ray at the end.
+1. **Triangles stay VMEM-resident** across *all* strata — one HBM read
+   per ray block instead of ``nsamples``.
+2. **Hit compaction.** Typically ~half the eye rays miss the scene
+   (0.41 hit rate on the bundled ambient_occlusion.rib); the gather is
+   pure wasted VPU work on those lanes.  The wrapper stable-partitions
+   hit lanes to the front (two cumsums + a scatter — no sort) and the
+   kernel skips whole ray blocks past the live count via a scalar
+   `pl.when` guard, so dead blocks cost one DMA, not nsamples x Npad
+   triangle tests.  Results scatter back to raster order afterwards.
+3. **Signed-volume (triple-product) occlusion test.**  An any-hit
+   query doesn't need t/u/v values, only a boolean — so instead of the
+   Moller-Trumbore solve (whose division is the most expensive VPU op
+   in the loop), each stratum evaluates the three triple products
+   ``U = d.(pb x pc), V = d.(pc x pa), W = d.(pa x pb)`` against
+   origin-hoisted cross products: the ray hits iff U, V, W share a
+   sign and the plane distance has positive ray parameter
+   (``s_n * dn > 0``, with ``dn = U+V+W = d.n`` for free).  The
+   origin-only terms (pa/pb/pc, their crosses, ``s_n = pa.n``) hoist
+   out of the strata loop because an AO gather shares one origin per
+   primary hit.  ~26 VPU ops per (ray, triangle, stratum) vs ~48 for
+   hoisted MT with its divide.
+4. **Rays live in LANES, triangles in SUBLANES.**  The first fused
+   version kept (ray, triangle) tiles ray-major, which forced a
+   (1, RB) -> (RB, 1) cross-lane relayout of the direction row for
+   every (stratum, tile) pair — ~576 relayouts per block that dominated
+   the kernel (13% VPU utilization).  With (TC, RB) tiles the
+   direction rows broadcast across sublanes natively: the inner loop
+   has NO transposes, and the per-triangle columns are transposed just
+   12x per tile when hoisting.
+
+Hemisphere directions are generated inside the kernel from the shading
+basis + per-lane jitter (the stratified ``cos_theta = sqrt((i+u)/n)``
+sampling of ambientocclusion.c:85-110), so no per-stratum ray buffers
+ever exist in HBM.  Per-stratum randomness is Cranley-Patterson
+rotation: each lane draws TWO uniforms (indexed by compacted position),
+and stratum s shifts them by the additive-recurrence (R2/plastic) QMC
+sequence, ``frac(u + frac(s * alpha_k))`` — the generalized-Hammersley
+flavor of the reference's own QMC sampler (qmc.c:380-428).  Unbiased
+per stratum, and it collapses the jitter stream from (2*nsamples, B)
+floats (265 MB per 518k-ray tile — profiled at ~25% of the pass) to
+(8, B).
 
 Memory plan per grid step (RAY_BLOCK rays):
 - rays: (16, RB) f32 — rows [P_off | b0 | b1 | b2 | hit | pad*3];
-- jitter: (2*nsamples, RB) f32 — two U[0,1) per stratum (host-side
-  threefry; Mosaic has no interpret-mode PRNG, and streaming 8 B/ray
-  /stratum is ~0.1% of kernel time);
-- tris: (16, Npad) f32 VMEM-resident, rows [v0|e1|e2|pad] xyz;
+- jitter: (8, RB) f32 — rows [u0 | u1 | pad*6];
+- tris: (16, Npad) f32 VMEM-resident, rows [v0|v1|v2|n] xyz with
+  n = e1 x e2 (Npad a multiple of 128 — the old MT kernel padded to
+  512, a 1.6x tax on the 322-triangle bundled scene);
 - scratch: 4x (nsamples, RB) f32 for directions + per-stratum flags.
 
 Interpret mode runs the identical kernel on CPU for the test suite.
@@ -45,14 +75,30 @@ from jax.experimental.pallas import tpu as pltpu
 _VMEM = pltpu.VMEM
 
 from lucille_tpu.accel.bruteforce import DET_EPS
-from lucille_tpu.accel.pallas_isect import RAY_BLOCK, TC, _pack
+
+# triangle tile height in the occlusion loop (sublane dimension); the
+# padded count wastes at most TC_OCC-1 triangles
+TC_OCC = 128
+
+# rays per grid step — larger than the closest-hit kernel's block so the
+# fixed per-step cost (DMA issue, grid bookkeeping) amortizes; the
+# wrapper pads the wavefront up to a multiple (dead pad lanes compact to
+# the back and their blocks are skipped)
+AO_RAY_BLOCK = 256
+
+# R2 additive-recurrence constants (plastic number alpha, alpha^2): the
+# per-stratum Cranley-Patterson shifts frac(s * A) — computable from a
+# loop-carried stratum index with one multiply
+_R2_A1 = 0.7548776662466927
+_R2_A2 = 0.5698402909980532
 
 # VMEM budget gate: triangle matrix bytes that still leave room for the
-# (RAY_BLOCK, TC) intermediate tiles (~9 MB) inside ~16 MB of VMEM.
+# (TC_OCC, RAY_BLOCK) hoisted cross-product tiles (~2 MB) inside ~16 MB.
 MAX_TRIS_FOR_MEGAKERNEL = 49152
 
 
 def _ao_kernel(
+    nact_ref,
     rays_ref,
     jit_ref,
     tris_ref,
@@ -67,101 +113,195 @@ def _ao_kernel(
     nphi,
 ):
     nsamples = ntheta * nphi
+    rb = rays_ref.shape[1]
 
-    b0x = rays_ref[3:4, :]
-    b0y = rays_ref[4:5, :]
-    b0z = rays_ref[5:6, :]
-    b1x = rays_ref[6:7, :]
-    b1y = rays_ref[7:8, :]
-    b1z = rays_ref[8:9, :]
-    b2x = rays_ref[9:10, :]
-    b2y = rays_ref[10:11, :]
-    b2z = rays_ref[11:12, :]
+    # inactive blocks (compaction moved every live lane below nact) write
+    # zeros and skip all compute; their DMA cost is negligible
+    occ_ref[:, :] = jnp.zeros((1, rb), jnp.float32)
+    active = pl.program_id(0) * rb < nact_ref[0]
 
-    # ---- phase 1: stratified hemisphere directions into VMEM scratch
-    # (ambientocclusion.c:85-110; basis rotation reflection.c:332-340)
-    def gen(s, _):
-        u0 = jit_ref[pl.ds(2 * s, 1), :]  # (1, RB)
-        u1 = jit_ref[pl.ds(2 * s + 1, 1), :]
-        fi = (s % ntheta).astype(jnp.float32)
-        fj = (s // ntheta).astype(jnp.float32)
-        z0 = (fi + u0) * (1.0 / ntheta)
-        z1 = (fj + u1) * (1.0 / nphi)
-        cos_t = jnp.sqrt(z0)
-        phi = (2.0 * jnp.pi) * z1
-        lx = jnp.cos(phi) * cos_t
-        ly = jnp.sin(phi) * cos_t
-        lz = jnp.sqrt(jnp.maximum(1.0 - z0, 0.0))
-        wx_ref[pl.ds(s, 1), :] = lx * b0x + ly * b1x + lz * b2x
-        wy_ref[pl.ds(s, 1), :] = lx * b0y + ly * b1y + lz * b2y
-        wz_ref[pl.ds(s, 1), :] = lx * b0z + ly * b1z + lz * b2z
-        flag_ref[pl.ds(s, 1), :] = jnp.zeros((1, rays_ref.shape[1]), jnp.float32)
-        return 0
+    @pl.when(active)
+    def _body():
+        b0x = rays_ref[3:4, :]
+        b0y = rays_ref[4:5, :]
+        b0z = rays_ref[5:6, :]
+        b1x = rays_ref[6:7, :]
+        b1y = rays_ref[7:8, :]
+        b1z = rays_ref[8:9, :]
+        b2x = rays_ref[9:10, :]
+        b2y = rays_ref[10:11, :]
+        b2z = rays_ref[11:12, :]
 
-    jax.lax.fori_loop(0, nsamples, gen, 0)
+        u0_lane = jit_ref[0:1, :]  # (1, RB) per-lane CP-rotation bases
+        u1_lane = jit_ref[1:2, :]
 
-    oxT = rays_ref[0:1, :].T  # (RB, 1)
-    oyT = rays_ref[1:2, :].T
-    ozT = rays_ref[2:3, :].T
-
-    # ---- phase 2: triangle tiles outer (hoist origin-only terms),
-    # strata inner (direction-dependent MT remainder)
-    def tile_body(ti, _):
-        base = ti * TC
-        v0x = tris_ref[0, pl.ds(base, TC)][None, :]  # (1, TC)
-        v0y = tris_ref[1, pl.ds(base, TC)][None, :]
-        v0z = tris_ref[2, pl.ds(base, TC)][None, :]
-        e1x = tris_ref[3, pl.ds(base, TC)][None, :]
-        e1y = tris_ref[4, pl.ds(base, TC)][None, :]
-        e1z = tris_ref[5, pl.ds(base, TC)][None, :]
-        e2x = tris_ref[6, pl.ds(base, TC)][None, :]
-        e2y = tris_ref[7, pl.ds(base, TC)][None, :]
-        e2z = tris_ref[8, pl.ds(base, TC)][None, :]
-
-        # origin-only Moller-Trumbore terms, once per (ray, triangle)
-        sx = oxT - v0x  # (RB, TC)
-        sy = oyT - v0y
-        sz = ozT - v0z
-        qx = sy * e1z - sz * e1y
-        qy = sz * e1x - sx * e1z
-        qz = sx * e1y - sy * e1x
-        e2q = e2x * qx + e2y * qy + e2z * qz
-
-        def strat(s, _):
-            dxT = wx_ref[pl.ds(s, 1), :].T  # (RB, 1)
-            dyT = wy_ref[pl.ds(s, 1), :].T
-            dzT = wz_ref[pl.ds(s, 1), :].T
-            px = dyT * e2z - dzT * e2y
-            py = dzT * e2x - dxT * e2z
-            pz = dxT * e2y - dyT * e2x
-            a = e1x * px + e1y * py + e1z * pz
-            valid = jnp.abs(a) > DET_EPS
-            inva = jnp.where(valid, 1.0 / jnp.where(valid, a, 1.0), 0.0)
-            u = (sx * px + sy * py + sz * pz) * inva
-            v = (qx * dxT + qy * dyT + qz * dzT) * inva
-            t = e2q * inva
-            hit = (
-                valid
-                & (u >= 0.0)
-                & (u <= 1.0)
-                & (v >= 0.0)
-                & (u + v <= 1.0)
-                & (t > 0.0)
-            )
-            any1 = jnp.any(hit, axis=1, keepdims=True)  # (RB, 1)
-            prev = flag_ref[pl.ds(s, 1), :]
-            flag_ref[pl.ds(s, 1), :] = jnp.maximum(
-                prev, any1.astype(jnp.float32).T
-            )
+        # ---- phase 1: stratified hemisphere directions into VMEM scratch
+        # (ambientocclusion.c:85-110; basis rotation reflection.c:332-340);
+        # per-stratum jitter = Cranley-Patterson rotation of the lane pair
+        # by the R2 sequence (qmc.c:380-428 flavor)
+        def gen(s, _):
+            sf = s.astype(jnp.float32)
+            sh0 = sf * _R2_A1
+            sh1 = sf * _R2_A2
+            u0 = u0_lane + (sh0 - jnp.floor(sh0))
+            u0 = u0 - jnp.floor(u0)
+            u1 = u1_lane + (sh1 - jnp.floor(sh1))
+            u1 = u1 - jnp.floor(u1)
+            fi = (s % ntheta).astype(jnp.float32)
+            fj = (s // ntheta).astype(jnp.float32)
+            z0 = (fi + u0) * (1.0 / ntheta)
+            z1 = (fj + u1) * (1.0 / nphi)
+            cos_t = jnp.sqrt(z0)
+            phi = (2.0 * jnp.pi) * z1
+            lx = jnp.cos(phi) * cos_t
+            ly = jnp.sin(phi) * cos_t
+            lz = jnp.sqrt(jnp.maximum(1.0 - z0, 0.0))
+            wx_ref[pl.ds(s, 1), :] = lx * b0x + ly * b1x + lz * b2x
+            wy_ref[pl.ds(s, 1), :] = lx * b0y + ly * b1y + lz * b2y
+            wz_ref[pl.ds(s, 1), :] = lx * b0z + ly * b1z + lz * b2z
+            flag_ref[pl.ds(s, 1), :] = jnp.zeros((1, rb), jnp.float32)
             return 0
 
-        jax.lax.fori_loop(0, nsamples, strat, 0)
-        return 0
+        jax.lax.fori_loop(0, nsamples, gen, 0)
 
-    jax.lax.fori_loop(0, n_tri_tiles, tile_body, 0)
+        ox = rays_ref[0:1, :]  # (1, RB) — rays stay in lanes throughout
+        oy = rays_ref[1:2, :]
+        oz = rays_ref[2:3, :]
 
-    hit_row = rays_ref[12:13, :]  # primary-hit mask
-    occ_ref[:, :] = jnp.sum(flag_ref[:, :], axis=0, keepdims=True) * hit_row
+        # ---- phase 2: triangle tiles outer (hoist all origin-only
+        # terms), strata inner (triple-product sign tests only).
+        # Everything is (TC, RB): triangles in sublanes, rays in lanes,
+        # so the per-stratum direction rows broadcast with no relayout.
+        def tile_body(ti, _):
+            base = ti * TC_OCC
+            # (1, TC) row slices -> (TC, 1) columns, 12 transposes per
+            # tile (vs 3 per stratum per tile ray-major)
+            v0x = tris_ref[0, pl.ds(base, TC_OCC)][:, None]
+            v0y = tris_ref[1, pl.ds(base, TC_OCC)][:, None]
+            v0z = tris_ref[2, pl.ds(base, TC_OCC)][:, None]
+            v1x = tris_ref[3, pl.ds(base, TC_OCC)][:, None]
+            v1y = tris_ref[4, pl.ds(base, TC_OCC)][:, None]
+            v1z = tris_ref[5, pl.ds(base, TC_OCC)][:, None]
+            v2x = tris_ref[6, pl.ds(base, TC_OCC)][:, None]
+            v2y = tris_ref[7, pl.ds(base, TC_OCC)][:, None]
+            v2z = tris_ref[8, pl.ds(base, TC_OCC)][:, None]
+            nx = tris_ref[9, pl.ds(base, TC_OCC)][:, None]
+            ny = tris_ref[10, pl.ds(base, TC_OCC)][:, None]
+            nz = tris_ref[11, pl.ds(base, TC_OCC)][:, None]
+
+            # origin-only terms, once per (triangle, ray): vertex offsets,
+            # their pairwise cross products, and the plane distance sign
+            pax = v0x - ox  # (TC, RB)
+            pay = v0y - oy
+            paz = v0z - oz
+            pbx = v1x - ox
+            pby = v1y - oy
+            pbz = v1z - oz
+            pcx = v2x - ox
+            pcy = v2y - oy
+            pcz = v2z - oz
+            # cbc = pb x pc, cca = pc x pa, cab = pa x pb
+            cbcx = pby * pcz - pbz * pcy
+            cbcy = pbz * pcx - pbx * pcz
+            cbcz = pbx * pcy - pby * pcx
+            ccax = pcy * paz - pcz * pay
+            ccay = pcz * pax - pcx * paz
+            ccaz = pcx * pay - pcy * pax
+            cabx = pay * pbz - paz * pby
+            caby = paz * pbx - pax * pbz
+            cabz = pax * pby - pay * pbx
+            s_n = pax * nx + pay * ny + paz * nz  # (A - o) . n
+
+            def strat(s, _):
+                dx = wx_ref[pl.ds(s, 1), :]  # (1, RB) — no transpose
+                dy = wy_ref[pl.ds(s, 1), :]
+                dz = wz_ref[pl.ds(s, 1), :]
+                U = dx * cbcx + dy * cbcy + dz * cbcz
+                V = dx * ccax + dy * ccay + dz * ccaz
+                W = dx * cabx + dy * caby + dz * cabz
+                dn = U + V + W  # = d . n (the MT determinant, negated)
+                inside = (jnp.minimum(jnp.minimum(U, V), W) >= 0.0) | (
+                    jnp.maximum(jnp.maximum(U, V), W) <= 0.0
+                )
+                # t = s_n / dn > 0 without the division; DET_EPS keeps the
+                # reference's degenerate-determinant rejection (bvh.c:746)
+                hit = inside & (s_n * dn > 0.0) & (jnp.abs(dn) > DET_EPS)
+                any1 = jnp.any(hit, axis=0, keepdims=True)  # (1, RB)
+                prev = flag_ref[pl.ds(s, 1), :]
+                flag_ref[pl.ds(s, 1), :] = jnp.maximum(
+                    prev, any1.astype(jnp.float32)
+                )
+                return 0
+
+            jax.lax.fori_loop(0, nsamples, strat, 0)
+            return 0
+
+        jax.lax.fori_loop(0, n_tri_tiles, tile_body, 0)
+
+        hit_row = rays_ref[12:13, :]  # primary-hit mask
+        occ_ref[:, :] = jnp.sum(flag_ref[:, :], axis=0, keepdims=True) * hit_row
+
+
+def occlusion_test_reference(org, dirn, v0, v1, v2):
+    """Plain-JAX mirror of the kernel's signed-volume any-hit test.
+
+    org, dirn: (B, 3); v0/v1/v2: (T, 3).  Returns (B,) bool.  Used by the
+    parity tests as the bit-exact oracle for the kernel's math (the MT
+    formulation agrees except within float rounding of the u/v/t
+    boundaries).
+    """
+    pa = v0[None] - org[:, None]  # (B, T, 3)
+    pb = v1[None] - org[:, None]
+    pc = v2[None] - org[:, None]
+    n = jnp.cross(v1 - v0, v2 - v0)[None]  # (1, T, 3)
+    d = dirn[:, None]
+    U = jnp.sum(d * jnp.cross(pb, pc), axis=-1)
+    V = jnp.sum(d * jnp.cross(pc, pa), axis=-1)
+    W = jnp.sum(d * jnp.cross(pa, pb), axis=-1)
+    dn = U + V + W
+    s_n = jnp.sum(pa * n, axis=-1)
+    inside = (jnp.minimum(jnp.minimum(U, V), W) >= 0.0) | (
+        jnp.maximum(jnp.maximum(U, V), W) <= 0.0
+    )
+    hit = inside & (s_n * dn > 0.0) & (jnp.abs(dn) > DET_EPS)
+    return jnp.any(hit, axis=-1)
+
+
+def partition_order(hit):
+    """Stable partition of lane indices: hit lanes first, raster order
+    preserved within each class.  Returns (order, nhit): lane ``order[j]``
+    of the input occupies compacted slot ``j``.  Pure function of the hit
+    mask — the compacted jitter indexing stays deterministic."""
+    B = hit.shape[0]
+    hit_i = hit.astype(jnp.int32)
+    nhit = jnp.sum(hit_i)
+    pos = jnp.where(
+        hit, jnp.cumsum(hit_i) - 1, nhit + jnp.cumsum(1 - hit_i) - 1
+    )
+    order = (
+        jnp.zeros((B,), jnp.int32)
+        .at[pos]
+        .set(jnp.arange(B, dtype=jnp.int32))
+    )
+    return order, nhit
+
+
+def _pack_occ(scene):
+    """Scene SoA -> (16, Npad) f32 occlusion matrix, rows [v0|v1|v2|n].
+
+    Padding rows are all-zero triangles: every triple product vanishes,
+    `s_n * dn = 0` is not > 0, so pads can never occlude."""
+    n = scene.tri_v0.shape[0]
+    npad = -(-n // TC_OCC) * TC_OCC
+    v1 = scene.tri_v0 + scene.tri_e1
+    v2 = scene.tri_v0 + scene.tri_e2
+    nrm = jnp.cross(scene.tri_e1, scene.tri_e2)
+    tris = jnp.zeros((16, npad), jnp.float32)
+    tris = tris.at[0:3, :n].set(scene.tri_v0.T)
+    tris = tris.at[3:6, :n].set(v1.T)
+    tris = tris.at[6:9, :n].set(v2.T)
+    tris = tris.at[9:12, :n].set(nrm.T)
+    return tris, npad
 
 
 def pallas_ao_occlusion(
@@ -195,42 +335,67 @@ def _pallas_ao_occlusion(
     scene, P_off, b0, b1, b2, hit, key, ntheta, nphi, interpret
 ):
     B = P_off.shape[0]
-    assert B % RAY_BLOCK == 0, f"B={B} not a multiple of {RAY_BLOCK}"
+    Bpad = -(-B // AO_RAY_BLOCK) * AO_RAY_BLOCK
     nsamples = ntheta * nphi
-    tris, npad = _pack(scene)
-    n_tri_tiles = npad // TC
+    tris, npad = _pack_occ(scene)
+    n_tri_tiles = npad // TC_OCC
 
-    rays = jnp.zeros((16, B), jnp.float32)
-    rays = rays.at[0:3].set(P_off.T)
-    rays = rays.at[3:6].set(b0.T)
-    rays = rays.at[6:9].set(b1.T)
-    rays = rays.at[9:12].set(b2.T)
-    rays = rays.at[12].set(hit.astype(jnp.float32))
+    # ---- hit compaction: stable-partition live lanes to the front.
+    # Wavefront pad lanes (Bpad > B) carry hit=False, so they compact to
+    # the back and their whole blocks are skipped.
+    if Bpad != B:
+        hit_w = jnp.zeros((Bpad,), hit.dtype).at[:B].set(hit)
+        pad3 = lambda a: jnp.zeros((Bpad, 3), a.dtype).at[:B].set(a)
+        P_off, b0, b1, b2 = pad3(P_off), pad3(b0), pad3(b1), pad3(b2)
+    else:
+        hit_w = hit
+    order, nhit = partition_order(hit_w)
 
-    jitter = jax.random.uniform(key, (2 * nsamples, B), dtype=jnp.float32)
+    # per-lane CP-rotation bases, indexed by COMPACTED position:
+    # i.i.d. uniforms, so the estimator is unchanged, and there is no
+    # (2*nsamples, B) column gather (profiled at ~the cost of the whole
+    # occlusion loop when keyed per raster lane)
+    # generated at width B (not Bpad) so the stream is independent of the
+    # block-padding amount; live lanes only ever read columns < nhit <= B
+    jitter = jnp.zeros((8, Bpad), jnp.float32)
+    jitter = jitter.at[0:2, :B].set(
+        jax.random.uniform(key, (2, B), dtype=jnp.float32)
+    )
+
+    hit_i = hit_w.astype(jnp.int32)
+    rays = jnp.zeros((16, Bpad), jnp.float32)
+    rays = rays.at[0:3].set(P_off[order].T)
+    rays = rays.at[3:6].set(b0[order].T)
+    rays = rays.at[6:9].set(b1[order].T)
+    rays = rays.at[9:12].set(b2[order].T)
+    rays = rays.at[12].set(hit_i[order].astype(jnp.float32))
+    nact = nhit.astype(jnp.int32).reshape((1,))
 
     def spec(shape, index_map):
         if _VMEM:
             return pl.BlockSpec(shape, index_map, memory_space=_VMEM)
         return pl.BlockSpec(shape, index_map)
 
-    grid = (B // RAY_BLOCK,)
+    grid = (Bpad // AO_RAY_BLOCK,)
     kernel = partial(
         _ao_kernel, n_tri_tiles=n_tri_tiles, ntheta=ntheta, nphi=nphi
     )
-    scratch_shapes = [pltpu.VMEM((nsamples, RAY_BLOCK), jnp.float32)] * 4
+    scratch_shapes = [pltpu.VMEM((nsamples, AO_RAY_BLOCK), jnp.float32)] * 4
 
-    occ = pl.pallas_call(
+    occ_sorted = pl.pallas_call(
         kernel,
         grid=grid,
         in_specs=[
-            spec((16, RAY_BLOCK), lambda i: (0, i)),
-            spec((2 * nsamples, RAY_BLOCK), lambda i: (0, i)),
+            pl.BlockSpec(memory_space=pltpu.SMEM),
+            spec((16, AO_RAY_BLOCK), lambda i: (0, i)),
+            spec((8, AO_RAY_BLOCK), lambda i: (0, i)),
             spec((16, npad), lambda i: (0, 0)),
         ],
-        out_specs=spec((1, RAY_BLOCK), lambda i: (0, i)),
-        out_shape=jax.ShapeDtypeStruct((1, B), jnp.float32),
+        out_specs=spec((1, AO_RAY_BLOCK), lambda i: (0, i)),
+        out_shape=jax.ShapeDtypeStruct((1, Bpad), jnp.float32),
         scratch_shapes=scratch_shapes,
         interpret=interpret,
-    )(rays, jitter, tris)
-    return occ[0]
+    )(nact, rays, jitter, tris)
+    # scatter occlusion counts back to raster order
+    occ = jnp.zeros((Bpad,), jnp.float32).at[order].set(occ_sorted[0])
+    return occ[:B]

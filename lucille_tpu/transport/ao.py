@@ -98,13 +98,11 @@ def ao_radiance(
 
     from lucille_tpu.accel.pallas_ao import (
         MAX_TRIS_FOR_MEGAKERNEL,
-        RAY_BLOCK,
         pallas_ao_occlusion,
     )
 
     use_megakernel = (
         scene.accel == "pallas"
-        and B % RAY_BLOCK == 0
         and scene.tri_v0.shape[0] <= MAX_TRIS_FOR_MEGAKERNEL
     )
     if use_megakernel:

@@ -10,18 +10,34 @@ import jax.numpy as jnp
 from test_intersect import _random_soup, _scene_from_tris
 
 
-def _reference_occlusion(sc, P, b0, b1, b2, hit, key, ntheta, nphi):
-    """Recompute the kernel's math with plain JAX + brute-force any-hit,
-    using the identical jitter stream."""
+def _reference_occlusion(sc, P, b0, b1, b2, hit, key, ntheta, nphi, mt=False):
+    """Recompute the kernel's math with plain JAX, using the identical
+    jitter stream.  mt=False mirrors the kernel's signed-volume any-hit
+    exactly; mt=True uses the Moller-Trumbore brute path (agrees except
+    within float rounding of the u/v/t window boundaries)."""
     from lucille_tpu.accel.bruteforce import brute_any_hit
+    from lucille_tpu.accel.pallas_ao import occlusion_test_reference
+
+    v1 = sc.tri_v0 + sc.tri_e1
+    v2 = sc.tri_v0 + sc.tri_e2
+    from lucille_tpu.accel.pallas_ao import _R2_A1, _R2_A2, partition_order
 
     B = P.shape[0]
     ns = ntheta * nphi
-    jitter = jax.random.uniform(key, (2 * ns, B), dtype=jnp.float32)
+    # per-lane CP-rotation bases indexed by compacted lane position
+    # (matches the wrapper): lane order[j] consumes jitter column j
+    order, _ = partition_order(hit)
+    inv = jnp.zeros((B,), jnp.int32).at[order].set(jnp.arange(B, dtype=jnp.int32))
+    base = jax.random.uniform(key, (2, B), dtype=jnp.float32)[:, inv]
     count = jnp.zeros(B)
     for s in range(ns):
-        u0 = jitter[2 * s]
-        u1 = jitter[2 * s + 1]
+        sf = jnp.float32(s)
+        sh0 = sf * jnp.float32(_R2_A1)
+        sh1 = sf * jnp.float32(_R2_A2)
+        u0 = base[0] + (sh0 - jnp.floor(sh0))
+        u0 = u0 - jnp.floor(u0)
+        u1 = base[1] + (sh1 - jnp.floor(sh1))
+        u1 = u1 - jnp.floor(u1)
         z0 = (float(s % ntheta) + u0) / ntheta
         z1 = (float(s // ntheta) + u1) / nphi
         cos_t = jnp.sqrt(z0)
@@ -30,7 +46,10 @@ def _reference_occlusion(sc, P, b0, b1, b2, hit, key, ntheta, nphi):
         ly = jnp.sin(phi) * cos_t
         lz = jnp.sqrt(jnp.maximum(1 - z0, 0))
         w = lx[:, None] * b0 + ly[:, None] * b1 + lz[:, None] * b2
-        occl = brute_any_hit(sc, P, w)
+        if mt:
+            occl = brute_any_hit(sc, P, w)
+        else:
+            occl = occlusion_test_reference(P, w, sc.tri_v0, v1, v2)
         count = count + (occl & hit).astype(jnp.float32)
     return count
 
@@ -56,6 +75,16 @@ def test_megakernel_matches_unfused(ntheta, nphi):
     )
     ref = _reference_occlusion(sc, P, b0, b1, b2, hit, key, ntheta, nphi)
     np.testing.assert_array_equal(np.asarray(occ), np.asarray(ref))
+
+    # Moller-Trumbore cross-check: the two formulations may disagree only
+    # where a sample lands within float rounding of the u/v/t window
+    # boundary — vanishingly rare for random jitter
+    ref_mt = np.asarray(
+        _reference_occlusion(sc, P, b0, b1, b2, hit, key, ntheta, nphi, mt=True)
+    )
+    diff = np.abs(np.asarray(occ) - ref_mt)
+    assert diff.max() <= 1.0
+    assert (diff != 0).mean() < 0.01
 
 
 def test_ao_radiance_uses_megakernel_and_matches_scan():
