@@ -207,9 +207,6 @@ def _ao_kernel(
             ccax = pcy * paz - pcz * pay
             ccay = pcz * pax - pcx * paz
             ccaz = pcx * pay - pcy * pax
-            cabx = pay * pbz - paz * pby
-            caby = paz * pbx - pax * pbz
-            cabz = pax * pby - pay * pbx
             s_n = pax * nx + pay * ny + paz * nz  # (A - o) . n
 
             def strat(s, _):
@@ -218,8 +215,9 @@ def _ao_kernel(
                 dz = wz_ref[pl.ds(s, 1), :]
                 U = dx * cbcx + dy * cbcy + dz * cbcz
                 V = dx * ccax + dy * ccay + dz * ccaz
-                W = dx * cabx + dy * caby + dz * cabz
-                dn = U + V + W  # = d . n (the MT determinant, negated)
+                dn = dx * nx + dy * ny + dz * nz  # d . n (MT determinant, negated)
+                # U + V + W = dn, so the third triple product is free
+                W = dn - U - V
                 inside = (jnp.minimum(jnp.minimum(U, V), W) >= 0.0) | (
                     jnp.maximum(jnp.maximum(U, V), W) <= 0.0
                 )
@@ -257,8 +255,8 @@ def occlusion_test_reference(org, dirn, v0, v1, v2):
     d = dirn[:, None]
     U = jnp.sum(d * jnp.cross(pb, pc), axis=-1)
     V = jnp.sum(d * jnp.cross(pc, pa), axis=-1)
-    W = jnp.sum(d * jnp.cross(pa, pb), axis=-1)
-    dn = U + V + W
+    dn = jnp.sum(d * n, axis=-1)
+    W = dn - U - V  # U + V + W = d.n, so the third product is free
     s_n = jnp.sum(pa * n, axis=-1)
     inside = (jnp.minimum(jnp.minimum(U, V), W) >= 0.0) | (
         jnp.maximum(jnp.maximum(U, V), W) <= 0.0

@@ -7,15 +7,22 @@ the Moller-Trumbore chain, window tests and the argmin reduction — no
 HBM round-trips for intermediates (the measured bottleneck of the
 unfused VPU path).
 
+Layout (learned the hard way in the AO megakernel, pallas_ao.py): rays
+live in LANES, triangles in SUBLANES.  Tiles are (TC, RAY_BLOCK), so the
+(1, RB) ray-component rows broadcast across sublanes with no cross-lane
+relayout; the per-triangle columns are transposed once per tile (9 tiny
+(1, TC) -> (TC, 1) relayouts), and the argmin epilogue reduces over the
+sublane axis into (1, RB) rows that store straight to the outputs.
+
 Memory plan (per the TPU model: HBM -> VMEM -> compute):
-- triangles: (16, N) f32 in VMEM, rows = [v0|e1|e2|ng-ish pad] xyz
-  components; N up to ~200k fits the ~16 MB VMEM budget alongside ray
-  blocks;
+- triangles: (16, N) f32 in VMEM, rows = [v0|e1|e2|pad] xyz components;
+  N padded to a multiple of TC=128 (a 512 pad cost the 322-triangle
+  bundled scene 1.6x);
 - rays: grid over blocks of RAY_BLOCK rays, each block a (8, RAY_BLOCK)
-  VMEM tile, rows = [ox oy oz dx dy dz pad pad];
-- compute: (RAY_BLOCK, TC) broadcasts per triangle tile inside a
+  VMEM tile, rows = [ox oy oz dx dy dz tmax pad];
+- compute: (TC, RAY_BLOCK) broadcasts per triangle tile inside a
   fori_loop — all VPU-elementwise, 8x128-aligned;
-- outputs: t/u/v (RAY_BLOCK,) f32 + tri (RAY_BLOCK,) i32 per block.
+- outputs: t/u/v (1, B) f32 + tri (1, B) i32 rows.
 
 Used opportunistically: `pallas_closest_hit` matches the dispatch
 contract; tests run it in interpreter mode on CPU, the TPU build is
@@ -33,11 +40,18 @@ import numpy as np
 from lucille_tpu.accel.bruteforce import DET_EPS
 
 RAY_BLOCK = 256  # rays per grid step
-TC = 512  # triangles per inner tile
+TC = 128  # triangles per inner tile (sublane dimension)
+
+
+def _load_tile_cols(tris_ref, base, rows):
+    """Row slices of the (16, N) triangle matrix -> (TC, 1) columns."""
+    import jax.experimental.pallas as pl
+
+    return [tris_ref[r, pl.ds(base, TC)][:, None] for r in rows]
 
 
 def _isect_kernel(rays_ref, tris_ref, t_ref, u_ref, v_ref, tri_ref, *, n_tri_tiles):
-    """One ray block against every triangle tile."""
+    """One ray block against every triangle tile; rays stay in lanes."""
     ox = rays_ref[0:1, :]  # (1, RB)
     oy = rays_ref[1:2, :]
     oz = rays_ref[2:3, :]
@@ -46,38 +60,29 @@ def _isect_kernel(rays_ref, tris_ref, t_ref, u_ref, v_ref, tri_ref, *, n_tri_til
     dz = rays_ref[5:6, :]
 
     def body(i, carry):
-        t_best, u_best, v_best, tri_best = carry
+        t_best, u_best, v_best, tri_best = carry  # (1, RB) rows
         base = i * TC
-        v0x = tris_ref[0, pl.ds(base, TC)][None, :]  # (1, TC)
-        v0y = tris_ref[1, pl.ds(base, TC)][None, :]
-        v0z = tris_ref[2, pl.ds(base, TC)][None, :]
-        e1x = tris_ref[3, pl.ds(base, TC)][None, :]
-        e1y = tris_ref[4, pl.ds(base, TC)][None, :]
-        e1z = tris_ref[5, pl.ds(base, TC)][None, :]
-        e2x = tris_ref[6, pl.ds(base, TC)][None, :]
-        e2y = tris_ref[7, pl.ds(base, TC)][None, :]
-        e2z = tris_ref[8, pl.ds(base, TC)][None, :]
+        (v0x, v0y, v0z, e1x, e1y, e1z, e2x, e2y, e2z) = _load_tile_cols(
+            tris_ref, base, range(9)
+        )
 
-        # p = d x e2 : (RB, TC) per component (broadcast (RB,1)x(1,TC))
-        dxT = dx.T  # (RB, 1)
-        dyT = dy.T
-        dzT = dz.T
-        px = dyT * e2z - dzT * e2y
-        py = dzT * e2x - dxT * e2z
-        pz = dxT * e2y - dyT * e2x
+        # p = d x e2 : (TC, RB) per component (broadcast (TC,1)x(1,RB))
+        px = dy * e2z - dz * e2y
+        py = dz * e2x - dx * e2z
+        pz = dx * e2y - dy * e2x
         a = e1x * px + e1y * py + e1z * pz
         valid = jnp.abs(a) > DET_EPS
         inva = jnp.where(valid, 1.0 / jnp.where(valid, a, 1.0), 0.0)
 
-        sx = ox.T - v0x
-        sy = oy.T - v0y
-        sz = oz.T - v0z
+        sx = ox - v0x
+        sy = oy - v0y
+        sz = oz - v0z
         qx = sy * e1z - sz * e1y
         qy = sz * e1x - sx * e1z
         qz = sx * e1y - sy * e1x
 
         u = (sx * px + sy * py + sz * pz) * inva
-        v = (qx * dxT + qy * dyT + qz * dzT) * inva
+        v = (qx * dx + qy * dy + qz * dz) * inva
         t = (e2x * qx + e2y * qy + e2z * qz) * inva
 
         hit = (
@@ -91,15 +96,15 @@ def _isect_kernel(rays_ref, tris_ref, t_ref, u_ref, v_ref, tri_ref, *, n_tri_til
         )
         t_m = jnp.where(hit, t, jnp.inf)
         # gather-free argmin selection (Mosaic has no take_along_axis):
-        # min-reduce t, recover the column by min-reducing masked iota,
-        # then select u/v with a masked sum-reduce.
-        tc = jnp.min(t_m, axis=1, keepdims=True)  # (RB, 1)
-        col = jax.lax.broadcasted_iota(jnp.int32, t_m.shape, 1)
+        # min-reduce t over the triangle (sublane) axis, recover the row
+        # by min-reducing masked iota, then select u/v with a masked sum.
+        tc = jnp.min(t_m, axis=0, keepdims=True)  # (1, RB)
+        row = jax.lax.broadcasted_iota(jnp.int32, t_m.shape, 0)
         is_min = t_m <= tc
-        j = jnp.min(jnp.where(is_min, col, t_m.shape[1]), axis=1, keepdims=True)
-        sel = col == j
-        u_sel = jnp.sum(jnp.where(sel, u, 0.0), axis=1, keepdims=True)
-        v_sel = jnp.sum(jnp.where(sel, v, 0.0), axis=1, keepdims=True)
+        j = jnp.min(jnp.where(is_min, row, t_m.shape[0]), axis=0, keepdims=True)
+        sel = row == j
+        u_sel = jnp.sum(jnp.where(sel, u, 0.0), axis=0, keepdims=True)
+        v_sel = jnp.sum(jnp.where(sel, v, 0.0), axis=0, keepdims=True)
         better = tc < t_best
         t_best = jnp.where(better, tc, t_best)
         u_best = jnp.where(better, u_sel, u_best)
@@ -108,18 +113,18 @@ def _isect_kernel(rays_ref, tris_ref, t_ref, u_ref, v_ref, tri_ref, *, n_tri_til
         return (t_best, u_best, v_best, tri_best)
 
     init = (
-        jnp.full((RAY_BLOCK, 1), jnp.inf, jnp.float32),
-        jnp.zeros((RAY_BLOCK, 1), jnp.float32),
-        jnp.zeros((RAY_BLOCK, 1), jnp.float32),
-        jnp.full((RAY_BLOCK, 1), -1, jnp.int32),
+        jnp.full((1, RAY_BLOCK), jnp.inf, jnp.float32),
+        jnp.zeros((1, RAY_BLOCK), jnp.float32),
+        jnp.zeros((1, RAY_BLOCK), jnp.float32),
+        jnp.full((1, RAY_BLOCK), -1, jnp.int32),
     )
     t_best, u_best, v_best, tri_best = jax.lax.fori_loop(
         0, n_tri_tiles, body, init
     )
-    t_ref[:, :] = t_best.T
-    u_ref[:, :] = u_best.T
-    v_ref[:, :] = v_best.T
-    tri_ref[:, :] = tri_best.T
+    t_ref[:, :] = t_best
+    u_ref[:, :] = u_best
+    v_ref[:, :] = v_best
+    tri_ref[:, :] = tri_best
 
 
 # imported late so module import works without pallas (e.g. docs builds)
@@ -212,7 +217,8 @@ def _pallas_closest_hit(scene, org, dirn, interpret: bool = False):
 
 
 def _anyhit_kernel(rays_ref, tris_ref, occ_ref, *, n_tri_tiles):
-    """Occlusion-only variant: fused MT + window tests + any-reduce."""
+    """Occlusion-only variant: fused MT + window tests + any-reduce,
+    same lane-major layout as the closest-hit kernel."""
     ox = rays_ref[0:1, :]
     oy = rays_ref[1:2, :]
     oz = rays_ref[2:3, :]
@@ -223,33 +229,24 @@ def _anyhit_kernel(rays_ref, tris_ref, occ_ref, *, n_tri_tiles):
 
     def body(i, occ):
         base = i * TC
-        v0x = tris_ref[0, pl.ds(base, TC)][None, :]
-        v0y = tris_ref[1, pl.ds(base, TC)][None, :]
-        v0z = tris_ref[2, pl.ds(base, TC)][None, :]
-        e1x = tris_ref[3, pl.ds(base, TC)][None, :]
-        e1y = tris_ref[4, pl.ds(base, TC)][None, :]
-        e1z = tris_ref[5, pl.ds(base, TC)][None, :]
-        e2x = tris_ref[6, pl.ds(base, TC)][None, :]
-        e2y = tris_ref[7, pl.ds(base, TC)][None, :]
-        e2z = tris_ref[8, pl.ds(base, TC)][None, :]
+        (v0x, v0y, v0z, e1x, e1y, e1z, e2x, e2y, e2z) = _load_tile_cols(
+            tris_ref, base, range(9)
+        )
 
-        dxT = dx.T
-        dyT = dy.T
-        dzT = dz.T
-        px = dyT * e2z - dzT * e2y
-        py = dzT * e2x - dxT * e2z
-        pz = dxT * e2y - dyT * e2x
+        px = dy * e2z - dz * e2y
+        py = dz * e2x - dx * e2z
+        pz = dx * e2y - dy * e2x
         a = e1x * px + e1y * py + e1z * pz
         valid = jnp.abs(a) > DET_EPS
         inva = jnp.where(valid, 1.0 / jnp.where(valid, a, 1.0), 0.0)
-        sx = ox.T - v0x
-        sy = oy.T - v0y
-        sz = oz.T - v0z
+        sx = ox - v0x
+        sy = oy - v0y
+        sz = oz - v0z
         qx = sy * e1z - sz * e1y
         qy = sz * e1x - sx * e1z
         qz = sx * e1y - sy * e1x
         u = (sx * px + sy * py + sz * pz) * inva
-        v = (qx * dxT + qy * dyT + qz * dzT) * inva
+        v = (qx * dx + qy * dy + qz * dz) * inva
         t = (e2x * qx + e2y * qy + e2z * qz) * inva
         hit = (
             valid
@@ -258,13 +255,13 @@ def _anyhit_kernel(rays_ref, tris_ref, occ_ref, *, n_tri_tiles):
             & (v >= 0.0)
             & (u + v <= 1.0)
             & (t > 0.0)
-            & (t < tmax.T)
+            & (t < tmax)
         )
-        return occ | jnp.any(hit, axis=1, keepdims=True)
+        return occ | jnp.any(hit, axis=0, keepdims=True)
 
-    occ0 = jnp.zeros((RAY_BLOCK, 1), dtype=jnp.bool_)
+    occ0 = jnp.zeros((1, RAY_BLOCK), dtype=jnp.bool_)
     occ = jax.lax.fori_loop(0, n_tri_tiles, body, occ0)
-    occ_ref[:, :] = occ.astype(jnp.float32).T
+    occ_ref[:, :] = occ.astype(jnp.float32)
 
 
 def pallas_any_hit(scene, org, dirn, tmax=None, interpret: bool | None = None):
