@@ -22,6 +22,10 @@ def _pallas_ok(scene, B, tmax, tmin) -> bool:
 def closest_hit(scene, org, dirn, tmax=None, tmin: float = 0.0):
     if scene.accel == "bvh" and scene.n_nodes > 0:
         return traverse.bvh_closest_hit(scene, org, dirn, tmax=tmax, tmin=tmin)
+    if scene.accel == "ugrid" and scene.grid_res > 0:
+        from lucille_tpu.accel.ugrid import ugrid_closest_hit
+
+        return ugrid_closest_hit(scene, org, dirn, tmax=tmax, tmin=tmin)
     if scene.accel == "pallas":
         if _pallas_ok(scene, org.shape[0], tmax, tmin):
             from lucille_tpu.accel.pallas_isect import pallas_closest_hit
@@ -36,6 +40,10 @@ def closest_hit(scene, org, dirn, tmax=None, tmin: float = 0.0):
 def any_hit(scene, org, dirn, tmax=None, tmin: float = 0.0):
     if scene.accel == "bvh" and scene.n_nodes > 0:
         return traverse.bvh_any_hit(scene, org, dirn, tmax=tmax, tmin=tmin)
+    if scene.accel == "ugrid" and scene.grid_res > 0:
+        from lucille_tpu.accel.ugrid import ugrid_any_hit
+
+        return ugrid_any_hit(scene, org, dirn, tmax=tmax, tmin=tmin)
     if scene.accel == "pallas":
         from lucille_tpu.accel.pallas_isect import RAY_BLOCK, pallas_any_hit
 

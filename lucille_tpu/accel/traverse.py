@@ -204,3 +204,81 @@ def bvh_any_hit(scene, org, dirn, tmax=None, tmin: float = 0.0):
 
     s = jax.lax.while_loop(cond, body, state)
     return s["occluded"]
+
+
+def bvh_diag(scene, org, dirn):
+    """Per-ray traversal diagnostics (ri_bvh_diag_t, bvh.h:95-104): node
+    visits, leaf visits and triangle tests per query, feeding the BVH
+    visualizer (tools_tpu/bvh_viz.py — the testbed BVHVisualizer.cpp
+    counterpart).  Returns the closest-hit dict plus per-ray counters
+    'nvisits', 'nleafs', 'ntris' (B,) i32."""
+    B = org.shape[0]
+    n_nodes = scene.n_nodes
+    leaf = scene.leaf_size
+    DONE = n_nodes
+
+    inv_dir = 1.0 / jnp.where(jnp.abs(dirn) > 1e-20, dirn, 1e-20)
+    z = org[..., 0] * 0.0
+    zi = z.astype(jnp.int32)
+    state = dict(
+        node=zi,
+        t=_tcap(B, None) + z,
+        tri=zi - 1,
+        nvisits=zi,
+        nleafs=zi,
+        ntris=zi,
+    )
+
+    def cond(s):
+        return jnp.any(s["node"] < DONE)
+
+    def body(s):
+        node = s["node"]
+        active = node < DONE
+        idx = jnp.minimum(node, DONE - 1)
+        bbmin = _gather3(scene.node_bbmin, idx)
+        bbmax = _gather3(scene.node_bbmax, idx)
+        skip = scene.node_skip[idx]
+        first = scene.node_first[idx]
+        count = scene.node_count[idx]
+        box_hit = active & _slab_test(bbmin, bbmax, org, inv_dir, s["t"])
+        is_leaf = count > 0
+        test_leaf = box_hit & is_leaf
+
+        t_best, tri_best = s["t"], s["tri"]
+        ntris = s["ntris"]
+        for k in range(leaf):
+            m = test_leaf & (k < count)
+            tri = jnp.minimum(first + k, scene.tri_v0.shape[0] - 1)
+            t, _, _, hit = _mt_single(
+                org,
+                dirn,
+                _gather3(scene.tri_v0, tri),
+                _gather3(scene.tri_e1, tri),
+                _gather3(scene.tri_e2, tri),
+            )
+            better = m & hit & (t > 0.0) & (t < t_best)
+            t_best = jnp.where(better, t, t_best)
+            tri_best = jnp.where(better, tri, tri_best)
+            ntris = ntris + m.astype(jnp.int32)
+
+        descend = box_hit & ~is_leaf
+        nxt = jnp.where(descend, idx + 1, skip)
+        return dict(
+            node=jnp.where(active, nxt, DONE),
+            t=t_best,
+            tri=tri_best,
+            nvisits=s["nvisits"] + active.astype(jnp.int32),
+            nleafs=s["nleafs"] + test_leaf.astype(jnp.int32),
+            ntris=ntris,
+        )
+
+    s = jax.lax.while_loop(cond, body, state)
+    return {
+        "t": s["t"],
+        "tri": s["tri"],
+        "hit": s["tri"] >= 0,
+        "nvisits": s["nvisits"],
+        "nleafs": s["nleafs"],
+        "ntris": s["ntris"],
+    }

@@ -50,7 +50,7 @@ def build_argparser() -> argparse.ArgumentParser:
     )
     p.add_argument(
         "--accel",
-        choices=["auto", "bvh", "bruteforce", "mxu", "pallas"],
+        choices=["auto", "bvh", "grid", "bruteforce", "mxu", "pallas"],
         help="accel override (auto = mxu for small scenes, bvh for big)",
     )
     p.add_argument(
@@ -59,6 +59,12 @@ def build_argparser() -> argparse.ArgumentParser:
         help="integrator override (Option \"renderer\" \"method\")",
     )
     p.add_argument("--nthreads", type=int, help="accepted for lsh compatibility")
+    p.add_argument(
+        "--recover",
+        action="store_true",
+        help="tile-level checkpoint + resume (the reference accepts PRMan's "
+        "-recover but ignores it, main.c:291; this one works)",
+    )
     p.add_argument("--width", type=int, help="override image width")
     p.add_argument("--height", type=int, help="override image height")
     p.add_argument("--debug", action="store_true")
@@ -173,7 +179,17 @@ def main(argv=None) -> int:
                 flush=True,
             )
 
-    image = renderer.render_frame(tile_cb=tile_cb, progress_cb=progress_cb)
+    ckpt = None
+    if args.recover:
+        base = (opt.current_display().name or "untitled.hdr") if opt.displays else "untitled.hdr"
+        ckpt = base + ".ckpt.npz"
+
+    image = renderer.render_frame(
+        tile_cb=tile_cb,
+        progress_cb=progress_cb,
+        checkpoint=ckpt,
+        recover=args.recover,
+    )
     del image
     if args.verbose:
         print()

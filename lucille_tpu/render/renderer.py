@@ -23,12 +23,13 @@ and its bucket machinery (render.c:582-710, 1043-1207):
 
 from __future__ import annotations
 
+import os
 from dataclasses import dataclass, field
 from typing import Callable, Optional
 
 import numpy as np
 
-from lucille_tpu.base.log import LOG_INFO, log
+from lucille_tpu.base.log import LOG_INFO, LOG_WARN, log
 from lucille_tpu.base.stats import RenderStats
 from lucille_tpu.base.timer import get_timer
 from lucille_tpu.render.film import subsample_filter_table
@@ -165,9 +166,20 @@ class Renderer:
         tile_cb: Optional[Callable] = None,
         progress_cb: Optional[Callable] = None,
         key=None,
+        checkpoint: Optional[str] = None,
+        recover: bool = False,
     ) -> np.ndarray:
         """Render the full frame; returns (H, W, 3) float32 in raster order
-        (row 0 = raster y 0; the hdr file driver flips, drivers.py)."""
+        (row 0 = raster y 0; the hdr file driver flips, drivers.py).
+
+        checkpoint: path of a tile-level checkpoint file.  When set, the
+        accumulated image + tile-done bitmap are written (atomically)
+        after each finished tile, and removed on completion.  With
+        recover=True, a matching existing checkpoint resumes the frame,
+        skipping finished tiles — the working version of the reference's
+        accepted-but-ignored PRMan ``-recover`` flag (main.c:291-293);
+        the reference loses the whole frame on a crash (SURVEY.md §5).
+        """
         import jax
         import jax.numpy as jnp
 
@@ -198,6 +210,40 @@ class Renderer:
         kernel = self._get_kernel(tile_w, tile_h, xsamples, ysamples)
         image = np.zeros((H, W, 3), dtype=np.float32)
 
+        # ---- tile-level checkpoint/resume -------------------------------
+        ckpt_meta = np.asarray(
+            [W, H, tile_w, tile_h, xsamples, ysamples, len(tiles)],
+            dtype=np.int64,
+        )
+        done = np.zeros(len(tiles), dtype=bool)
+        if checkpoint and recover and os.path.exists(checkpoint):
+            try:
+                data = np.load(checkpoint)
+                if np.array_equal(data["meta"], ckpt_meta):
+                    image = np.asarray(data["image"], dtype=np.float32)
+                    done = np.asarray(data["done"], dtype=bool)
+                    log(
+                        LOG_INFO,
+                        "recovered %d/%d finished tiles from %s",
+                        int(done.sum()),
+                        len(tiles),
+                        checkpoint,
+                    )
+                else:
+                    log(
+                        LOG_WARN,
+                        "checkpoint %s does not match this frame; ignoring",
+                        checkpoint,
+                    )
+            except Exception as e:  # corrupt file: start fresh
+                log(LOG_WARN, "cannot read checkpoint %s: %s", checkpoint, e)
+
+        def _save_ckpt():
+            tmp = checkpoint + ".tmp.npz"
+            with open(tmp, "wb") as f:
+                np.savez(f, image=image, done=done, meta=ckpt_meta)
+            os.replace(tmp, checkpoint)  # atomic against mid-write crashes
+
         timer = get_timer()
         timer.start("Render frame")
         ntests_total = 0
@@ -208,6 +254,9 @@ class Renderer:
         # per-call latency would otherwise serialize with compute)
         pending = []
         for ti, (x0, y0, _i, _j) in enumerate(tiles):
+            if done[ti]:
+                pending.append(None)
+                continue
             tkey = jax.random.fold_in(key, ti)
             pending.append(
                 kernel(
@@ -215,18 +264,29 @@ class Renderer:
                 )
             )
         for ti, (x0, y0, _i, _j) in enumerate(tiles):
-            img, aux = pending[ti]
-            tile_np = np.asarray(img)
             th = min(tile_h, H - y0)
             tw = min(tile_w, W - x0)
+            if pending[ti] is None:  # recovered tile: replay to displays
+                if tile_cb:
+                    tile_cb(x0, y0, image[y0 : y0 + th, x0 : x0 + tw])
+                if progress_cb:
+                    progress_cb((ti + 1) / len(tiles))
+                continue
+            img, aux = pending[ti]
+            tile_np = np.asarray(img)
             image[y0 : y0 + th, x0 : x0 + tw] = tile_np[:th, :tw]
             self.stats.add(nrays=int(aux["nrays"]))
             ntests_total += int(aux["ntests"])
             ntrav_total += int(aux["ntrav"])
+            done[ti] = True
+            if checkpoint:
+                _save_ckpt()
             if tile_cb:
                 tile_cb(x0, y0, tile_np[:th, :tw])
             if progress_cb:
                 progress_cb((ti + 1) / len(tiles))
+        if checkpoint and os.path.exists(checkpoint):
+            os.remove(checkpoint)  # frame completed; nothing to resume
         self.stats.render_seconds += timer.end("Render frame")
         self.stats.add(ntriangle_tests=ntests_total, ntraversals=ntrav_total)
         log(

@@ -172,11 +172,42 @@ def compile_scene(
         node_first = np.zeros(1, dtype=np.int32)
         node_count = np.zeros(1, dtype=np.int32)
         n_nodes = 0
-        accel = (
-            accel_method
-            if accel_method in ("mxu", "pallas")
-            else "bruteforce"
+        if accel_method in ("grid", "ugrid"):
+            accel = "ugrid"
+        elif accel_method in ("mxu", "pallas"):
+            accel = accel_method
+        else:
+            accel = "bruteforce"
+
+    # ---------------- uniform grid ---------------------------------------
+    # RIB Option "raytrace" "accel_method" ["grid"] (option.c:506 token);
+    # the reference's ugrid never traced (intersect stub, ugrid.c:376) —
+    # this one does (accel/ugrid.py).
+    grid_cell_start = np.zeros(1, dtype=np.int32)
+    grid_tri_idx = np.zeros(1, dtype=np.int32)
+    grid_bbmin = bbmin
+    grid_bbmax = bbmax
+    grid_res = 0
+    if accel == "ugrid" and n_tris > 0:
+        from lucille_tpu.accel.ugrid import build_ugrid
+
+        timer = get_timer()
+        timer.start("Grid Construction")
+        g = build_ugrid(v0, v1, v2)
+        dt = timer.end("Grid Construction")
+        log(
+            LOG_INFO,
+            "uniform grid built: %d tris, %d^3 cells, %d refs, %.3f sec",
+            n_tris,
+            g.res,
+            len(g.tri_idx),
+            dt,
         )
+        grid_cell_start = g.cell_start
+        grid_tri_idx = g.tri_idx
+        grid_bbmin = g.bbmin
+        grid_bbmax = g.bbmax
+        grid_res = g.res
 
     # ---------------- padding -------------------------------------------
     n_pad = max(PAD_MULTIPLE, -(-max(n_tris, 1) // PAD_MULTIPLE) * PAD_MULTIPLE)
@@ -242,6 +273,11 @@ def compile_scene(
         bbox_min=bbmin,
         bbox_max=bbmax,
         eps=np.float32(eps),
+        grid_cell_start=grid_cell_start,
+        grid_tri_idx=grid_tri_idx,
+        grid_bbmin=grid_bbmin,
+        grid_bbmax=grid_bbmax,
+        grid_res=grid_res,
         n_tris=n_tris,
         n_pad=n_pad,
         n_geoms=n_geoms,

@@ -63,6 +63,14 @@ class SceneArrays:
     eps: Any  # () f32 scene-relative ray offset (fixes the reference's
     #           absolute 1e-6, ambientocclusion.c:70 FIXME)
 
+    # uniform grid (CSR cell lists; grid_res 0 => not built) — the
+    # working realization of the reference's ugrid.c (whose intersect is
+    # a stub, ugrid.c:376-385)
+    grid_cell_start: Any = None  # (res^3 + 1,) i32
+    grid_tri_idx: Any = None  # (M,) i32
+    grid_bbmin: Any = None  # (3,) f32
+    grid_bbmax: Any = None  # (3,) f32
+
     # static metadata (aux_data under jit)
     n_tris: int = 0  # real triangle count (pre-padding)
     n_pad: int = 0  # padded triangle count
@@ -70,6 +78,7 @@ class SceneArrays:
     n_nodes: int = 0
     leaf_size: int = 8
     accel: str = "bvh"
+    grid_res: int = 0  # cells per axis (cubic)
 
     _ARRAY_FIELDS = (
         "tri_v0", "tri_e1", "tri_e2", "geom_id",
@@ -78,8 +87,12 @@ class SceneArrays:
         "mat_emission",
         "node_bbmin", "node_bbmax", "node_skip", "node_first", "node_count",
         "bbox_min", "bbox_max", "eps",
+        "grid_cell_start", "grid_tri_idx", "grid_bbmin", "grid_bbmax",
     )
-    _STATIC_FIELDS = ("n_tris", "n_pad", "n_geoms", "n_nodes", "leaf_size", "accel")
+    _STATIC_FIELDS = (
+        "n_tris", "n_pad", "n_geoms", "n_nodes", "leaf_size", "accel",
+        "grid_res",
+    )
 
     def tree_flatten(self):
         children = tuple(getattr(self, f) for f in self._ARRAY_FIELDS)

@@ -29,6 +29,7 @@ def _scene_from_tris(v0, v1, v2, accel):
     ).astype(np.int32)
     desc = SceneDescription()
     desc.geoms.append(GeomData(positions=pos, indices=idx, attrs=AttributeState()))
+    desc.options.accel_method = accel  # scene carries the dispatch tag
     return compile_scene(desc, build_bvh=(accel == "bvh")).device_put()
 
 
@@ -227,3 +228,100 @@ class TestPallasKernel:
         np.testing.assert_allclose(
             np.asarray(r1["t"])[h], np.asarray(r2["t"])[h], rtol=1e-4
         )
+
+
+class TestUniformGrid:
+    """The working grid accelerator (the reference's ri_ugrid_intersect is
+    a stub returning 0, ugrid.c:376-385 — so brute force is the oracle)."""
+
+    def test_build_covers_all_triangles(self):
+        from lucille_tpu.accel.ugrid import build_ugrid
+
+        v0, v1, v2 = _random_soup(200, seed=11)
+        g = build_ugrid(v0, v1, v2)
+        assert g.cell_start[-1] == len(g.tri_idx)
+        assert set(np.unique(g.tri_idx)) == set(range(200))
+        # offsets are monotone (valid CSR)
+        assert (np.diff(g.cell_start) >= 0).all()
+
+    @pytest.mark.parametrize("seed", [0, 3])
+    def test_closest_hit_matches_bruteforce(self, seed):
+        from lucille_tpu.accel.bruteforce import brute_closest_hit
+        from lucille_tpu.accel.dispatch import closest_hit
+
+        v0, v1, v2 = _random_soup(300, seed=seed)
+        sc_g = _scene_from_tris(v0, v1, v2, "grid")
+        assert sc_g.accel == "ugrid" and sc_g.grid_res > 0
+        sc_bf = _scene_from_tris(v0, v1, v2, "bruteforce")
+
+        rng = np.random.default_rng(seed + 20)
+        B = 512
+        org = jnp.asarray(rng.uniform(-8, 8, (B, 3)), jnp.float32)
+        d = rng.normal(size=(B, 3))
+        d /= np.linalg.norm(d, axis=-1, keepdims=True)
+        dirn = jnp.asarray(d, jnp.float32)
+
+        r1 = brute_closest_hit(sc_bf, org, dirn)
+        r2 = closest_hit(sc_g, org, dirn)
+        h1 = np.asarray(r1["hit"])
+        h2 = np.asarray(r2["hit"])
+        np.testing.assert_array_equal(h1, h2)
+        np.testing.assert_allclose(
+            np.asarray(r1["t"])[h1], np.asarray(r2["t"])[h2], rtol=1e-5
+        )
+        np.testing.assert_array_equal(
+            np.asarray(r1["tri"])[h1], np.asarray(r2["tri"])[h2]
+        )
+        assert int(r2["ntrav"]) > 0  # grid actually walked cells
+
+    def test_any_hit_and_tmax(self):
+        from lucille_tpu.accel.bruteforce import brute_any_hit
+        from lucille_tpu.accel.dispatch import any_hit
+
+        v0, v1, v2 = _random_soup(250, seed=5)
+        sc_g = _scene_from_tris(v0, v1, v2, "grid")
+        sc_bf = _scene_from_tris(v0, v1, v2, "bruteforce")
+        rng = np.random.default_rng(6)
+        B = 512
+        org = jnp.asarray(rng.uniform(-8, 8, (B, 3)), jnp.float32)
+        d = rng.normal(size=(B, 3))
+        d /= np.linalg.norm(d, axis=-1, keepdims=True)
+        dirn = jnp.asarray(d, jnp.float32)
+        np.testing.assert_array_equal(
+            np.asarray(brute_any_hit(sc_bf, org, dirn)),
+            np.asarray(any_hit(sc_g, org, dirn)),
+        )
+        tmax = jnp.full((B,), 3.0)
+        np.testing.assert_array_equal(
+            np.asarray(brute_any_hit(sc_bf, org, dirn, tmax=tmax)),
+            np.asarray(any_hit(sc_g, org, dirn, tmax=tmax)),
+        )
+
+    def test_render_with_grid_option(self):
+        """RIB Option "raytrace" "accel_method" ["grid"] end-to-end."""
+        from lucille_tpu.rib.parser import parse_rib
+        from lucille_tpu.ri.api import RiState
+        from lucille_tpu.render.renderer import Renderer
+
+        state = RiState()
+        parse_rib(
+            """
+            Display "g.hdr" "file" "rgb"
+            Format 32 24 1
+            PixelSamples 1 1
+            Option "raytrace" "accel_method" ["grid"]
+            Projection "perspective" "fov" [45]
+            Orientation "rh"
+            ConcatTransform [1 0 0 0  0 1 0 0  0 0 1 0  0 -1 -6 1]
+            WorldBegin
+            PointsPolygons [4] [0 1 2 3] "P" [-5 0 -5  5 0 -5  5 0 5  -5 0 5]
+            PointsPolygons [3] [0 1 2] "P" [-1 0 -1  1 0 -1  0 2 0]
+            WorldEnd
+            """,
+            state,
+        )
+        r = Renderer(state.scene, tile_size=16)
+        assert r.scene.accel == "ugrid"
+        img = r.render_frame()
+        assert img.shape == (24, 32, 3)
+        assert float(img.max()) > 0.0

@@ -122,3 +122,87 @@ class TestDisplayChain:
 
         drv = get_display_driver("no_such_driver")
         assert isinstance(drv, FileDriver)
+
+
+class TestCheckpointResume:
+    """Tile-level checkpoint/resume (SURVEY.md section 5: the reference has
+    none — a crash loses the frame; ours resumes from the last tile)."""
+
+    def _state(self):
+        from lucille_tpu.rib.parser import parse_rib
+        from lucille_tpu.ri.api import RiState
+
+        state = RiState()
+        parse_rib(
+            """
+            Display "c.hdr" "file" "rgb"
+            Format 48 32 1
+            PixelSamples 2 2
+            Projection "perspective" "fov" [45]
+            Orientation "rh"
+            ConcatTransform [1 0 0 0  0 1 0 0  0 0 1 0  0 -1 -6 1]
+            WorldBegin
+            PointsPolygons [4] [0 1 2 3] "P" [-5 0 -5  5 0 -5  5 0 5  -5 0 5]
+            PointsPolygons [3] [0 1 2] "P" [-1 0 -1  1 0 -1  0 2 0]
+            WorldEnd
+            """,
+            state,
+        )
+        return state
+
+    def test_resume_reproduces_full_frame(self, tmp_path):
+        import numpy as np
+        from lucille_tpu.render.renderer import Renderer
+
+        ckpt = str(tmp_path / "frame.ckpt.npz")
+        state = self._state()
+        full = Renderer(state.scene, tile_size=16).render_frame()
+
+        # interrupted run: crash after 2 tiles (tile_cb raises)
+        state2 = self._state()
+        r2 = Renderer(state2.scene, tile_size=16)
+        count = [0]
+
+        def crash_cb(x0, y0, tile):
+            count[0] += 1
+            if count[0] >= 2:
+                raise KeyboardInterrupt
+
+        try:
+            r2.render_frame(tile_cb=crash_cb, checkpoint=ckpt)
+            raise AssertionError("crash_cb should have interrupted")
+        except KeyboardInterrupt:
+            pass
+        import os
+
+        assert os.path.exists(ckpt)
+        data = np.load(ckpt)
+        assert 0 < data["done"].sum() < data["done"].shape[0]
+
+        # recovered run completes and matches the uninterrupted frame
+        state3 = self._state()
+        r3 = Renderer(state3.scene, tile_size=16)
+        replayed = []
+        img = r3.render_frame(
+            tile_cb=lambda x0, y0, t: replayed.append((x0, y0)),
+            checkpoint=ckpt,
+            recover=True,
+        )
+        np.testing.assert_allclose(img, full, atol=1e-6)
+        # every tile reached the displays (recovered ones replayed)
+        assert len(replayed) == data["done"].shape[0]
+        assert not os.path.exists(ckpt)  # removed on completion
+
+    def test_mismatched_checkpoint_ignored(self, tmp_path):
+        import numpy as np
+        from lucille_tpu.render.renderer import Renderer
+
+        ckpt = str(tmp_path / "frame.ckpt.npz")
+        with open(ckpt, "wb") as f:
+            np.savez(f, image=np.zeros((8, 8, 3)), done=np.zeros(1, bool),
+                     meta=np.asarray([1, 2, 3, 4, 5, 6, 7]))
+        state = self._state()
+        img = Renderer(state.scene, tile_size=16).render_frame(
+            checkpoint=ckpt, recover=True
+        )
+        assert float(img.max()) > 0.0

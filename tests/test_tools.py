@@ -159,3 +159,96 @@ class TestRockenfieldCodec:
         s = _terminal_preview(img, max_cols=16)
         assert "\x1b[38;2;" in s
         assert len(s.splitlines()) > 2
+
+
+class TestDCCExport:
+    """dcc_export's emitter core round-trips through our own RIB parser
+    (the bpy/hou adapters need their DCCs; the emission path is shared)."""
+
+    def _meshes(self):
+        import numpy as np
+
+        tri = dict(
+            positions=np.array([[-1, 0, -1], [1, 0, -1], [0, 2, 0]], float),
+            indices=np.array([[0, 1, 2]]),
+            name="tri",
+            color=(1.0, 0.5, 0.25),
+            surface="matte",
+            surface_params={"Kd": [0.8]},
+        )
+        quad = dict(
+            positions=np.array(
+                [[-5, 0, -5], [5, 0, -5], [5, 0, 5], [-5, 0, 5]], float
+            ),
+            indices=np.array([[0, 1, 2], [0, 2, 3]]),
+            name="floor",
+        )
+        return [tri, quad]
+
+    def test_round_trip_parses_and_renders(self):
+        import numpy as np
+        import sys, os
+        sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
+        from tools_tpu.dcc_export import emit_rib
+        from lucille_tpu.rib.parser import parse_rib
+        from lucille_tpu.ri.api import RiState
+        from lucille_tpu.render.renderer import Renderer
+
+        rib = emit_rib(self._meshes(), width=32, height=24, samples=1)
+        state = RiState()
+        parse_rib(rib, state)
+        assert len(state.scene.geoms) == 2
+        assert state.scene.geoms[0].ntriangles == 1
+        assert state.scene.geoms[1].ntriangles == 2
+        np.testing.assert_allclose(
+            state.scene.geoms[0].attrs.color, (1.0, 0.5, 0.25)
+        )
+        img = Renderer(state.scene, tile_size=16).render_frame()
+        assert img.shape == (24, 32, 3)
+        assert float(img.max()) > 0.0  # auto-framed camera sees the scene
+
+    def test_explicit_camera_matrix(self):
+        import sys, os
+        sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
+        import numpy as np
+        from tools_tpu.dcc_export import emit_rib
+        from lucille_tpu.rib.parser import parse_rib
+        from lucille_tpu.ri.api import RiState
+
+        w2c = np.eye(4)
+        w2c[3, :3] = [0.0, -1.0, -8.0]  # row-vector translation
+        rib = emit_rib(
+            self._meshes(), camera=dict(world_to_camera=w2c, fov=38.0)
+        )
+        state = RiState()
+        parse_rib(rib, state)
+        assert state.camera.fov == 38.0
+
+
+class TestBVHViz:
+    def test_heatmap_and_boxes(self, tmp_path):
+        import sys, os
+        sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
+        import numpy as np
+        from tools_tpu.bvh_viz import dump_boxes_obj, heatmap, render_diag
+        from tools_tpu.dcc_export import emit_rib
+
+        rib = tmp_path / "scene.rib"
+        rib.write_text(
+            emit_rib(TestDCCExport()._meshes(), width=24, height=16, samples=1)
+        )
+        stat, stats, scene = render_diag(str(rib), metric="nvisits")
+        assert stat.shape == (16, 24)
+        assert stat.max() > 0  # rays walked nodes
+        assert stats["ntris"].max() >= 1  # something got tested
+        hm = heatmap(stat)
+        assert hm.shape == (16, 24, 3)
+        assert hm.min() >= 0.0 and hm.max() <= 1.0
+
+        obj = tmp_path / "boxes.obj"
+        dump_boxes_obj(scene, str(obj))
+        text = obj.read_text()
+        nv = sum(1 for line in text.splitlines() if line.startswith("v "))
+        nl = sum(1 for line in text.splitlines() if line.startswith("l "))
+        assert nv == 8 * scene.n_nodes
+        assert nl == 12 * scene.n_nodes
