@@ -26,14 +26,34 @@ def main():
     ap.add_argument("--gather", type=int, default=16)
     a = ap.parse_args()
 
+    import os
+
     import jax
+
+    # honor JAX_PLATFORMS=cpu before any backend query: the environment's
+    # sitecustomize latches the TPU plugin otherwise, which would leave
+    # default_backend() at "tpu" while the mesh runs on CPU devices (and
+    # the pallas wrappers would pick compiled Mosaic instead of interpret)
+    if os.environ.get("JAX_PLATFORMS", "").lower().startswith("cpu"):
+        jax.config.update("jax_platforms", "cpu")
 
     from lucille_tpu.parallel.mesh import make_mesh, render_frame_sharded
     from lucille_tpu.ri.api import RiState
     from lucille_tpu.rib.parser import parse_rib_file
 
-    ndev_avail = len(jax.devices())
+    # one consistent device pool for every mesh size: if the default
+    # backend can't serve the largest size (single tunneled TPU), run the
+    # whole sweep on the virtual CPU pool instead of mixing backends
+    pool = jax.devices()
+    want = max(a.devices) if a.devices else 8
+    if len(pool) < want:
+        try:
+            pool = jax.devices("cpu")
+        except RuntimeError:
+            pass
+    ndev_avail = len(pool)
     sizes = a.devices or [n for n in (1, 2, 4, 8) if n <= ndev_avail]
+    sizes = [n for n in sizes if n <= ndev_avail]
 
     state = RiState()
     parse_rib_file(
@@ -43,13 +63,28 @@ def main():
     state.Format(a.size, a.size * 3 // 4)
     state.options.gather_nsamples = a.gather
 
+    # virtual CPU devices timeshare the same physical cores: aggregate
+    # throughput stays flat no matter how many devices the mesh has, so
+    # wall-clock efficiency is only meaningful on real chips.  Detect it
+    # from the mesh's own devices (the platform plugin may keep the
+    # default backend pinned elsewhere).
+    import os
+
+    virtual = False
+
     results = []
+    ref_img = None
     for n in sizes:
-        mesh = make_mesh(n)
+        mesh = make_mesh(n, devices=pool)
+        dev0 = next(iter(mesh.devices.flat))
+        virtual = dev0.platform == "cpu" and (
+            "xla_force_host_platform_device_count"
+            in os.environ.get("XLA_FLAGS", "")
+        )
         # warm (compile + claim)
         render_frame_sharded(state.scene, mesh, tile=a.tile)
         t0 = time.perf_counter()
-        _img, nrays = render_frame_sharded(state.scene, mesh, tile=a.tile)
+        img, nrays = render_frame_sharded(state.scene, mesh, tile=a.tile)
         dt = time.perf_counter() - t0
         rps = nrays / dt
         results.append((n, rps))
@@ -60,25 +95,57 @@ def main():
                     "devices": n,
                     "value": rps,
                     "seconds": dt,
+                    "virtual_devices": virtual,
                 }
             )
         )
+        # sharding-invariance: every mesh size must produce the same frame
+        import numpy as np
+
+        if ref_img is None:
+            ref_img = np.asarray(img)
+        else:
+            d = float(np.abs(np.asarray(img) - ref_img).max())
+            if d > 1e-5:
+                print(json.dumps({"metric": "sharding_mismatch", "max": d}))
+                return 1
 
     if len(results) > 1:
         base_n, base_rps = results[0]
         last_n, last_rps = results[-1]
-        eff = (last_rps / last_n) / (base_rps / base_n)
-        print(
-            json.dumps(
-                {
-                    "metric": "scaling_efficiency",
-                    "from_devices": base_n,
-                    "to_devices": last_n,
-                    "value": eff,
-                    "target": 0.8,
-                }
+        if virtual:
+            # fixed physical compute: the correct invariant is that the
+            # AGGREGATE stays flat while work divides across devices
+            eff = last_rps / base_rps
+            print(
+                json.dumps(
+                    {
+                        "metric": "virtual_aggregate_retention",
+                        "from_devices": base_n,
+                        "to_devices": last_n,
+                        "value": eff,
+                        "note": (
+                            "virtual CPU devices share the physical cores; "
+                            "per-chip scaling_efficiency (target 0.8) needs "
+                            "real multi-chip hardware — this run validates "
+                            "the sharded mechanism + output invariance"
+                        ),
+                    }
+                )
             )
-        )
+        else:
+            eff = (last_rps / last_n) / (base_rps / base_n)
+            print(
+                json.dumps(
+                    {
+                        "metric": "scaling_efficiency",
+                        "from_devices": base_n,
+                        "to_devices": last_n,
+                        "value": eff,
+                        "target": 0.8,
+                    }
+                )
+            )
     return 0
 
 

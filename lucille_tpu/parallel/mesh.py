@@ -28,9 +28,26 @@ import numpy as np
 from jax.sharding import Mesh, PartitionSpec as P
 
 
-def make_mesh(n_devices: int | None = None, axis: str = "tiles") -> Mesh:
-    devices = jax.devices()
+def make_mesh(
+    n_devices: int | None = None, axis: str = "tiles", devices=None
+) -> Mesh:
+    """Mesh over the first n devices.  When the default backend has too
+    few (e.g. the single tunneled TPU here), falls back to the virtual
+    CPU pool rather than silently truncating — a 1-device mesh labeled
+    "8 devices" measures nothing."""
+    if devices is None:
+        devices = jax.devices()
+        if n_devices is not None and len(devices) < n_devices:
+            try:
+                devices = jax.devices("cpu")
+            except RuntimeError:
+                pass
     if n_devices is not None:
+        if len(devices) < n_devices:
+            raise ValueError(
+                f"need {n_devices} devices, have {len(devices)} "
+                "(set XLA_FLAGS=--xla_force_host_platform_device_count)"
+            )
         devices = devices[:n_devices]
     return Mesh(np.array(devices), (axis,))
 
