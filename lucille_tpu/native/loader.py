@@ -18,6 +18,7 @@ _SRC = _REPO_ROOT / "native" / "bvh_builder.cpp"
 
 _lib = None
 _lib_tried = False
+_libs: dict = {}
 
 
 def _cache_dir() -> Path:
@@ -28,32 +29,65 @@ def _cache_dir() -> Path:
     return d
 
 
+def get_lib(name: str):
+    """Compile (once, content-hashed cache) and dlopen native/<name>.cpp.
+    Returns the ctypes CDLL, or None when the toolchain/source is absent
+    — callers fall back to their pure-Python paths (the same graceful
+    degradation the reference gets from optional libs like libjpeg)."""
+    if name in _libs:
+        return _libs[name]
+    _libs[name] = None
+    src = _REPO_ROOT / "native" / f"{name}.cpp"
+    if not src.exists():
+        return None
+    tag = hashlib.sha256(src.read_bytes()).hexdigest()[:16]
+    so = _cache_dir() / f"lib{name}_{tag}.so"
+    if not so.exists():
+        cmd = [
+            "g++", "-O3", "-shared", "-fPIC", "-std=c++17",
+            "-o", str(so), str(src),
+        ]
+        try:
+            subprocess.run(cmd, check=True, capture_output=True, timeout=120)
+            log(LOG_INFO, "compiled native %s -> %s", name, so)
+        except (subprocess.CalledProcessError, FileNotFoundError,
+                subprocess.TimeoutExpired) as e:
+            log_once(LOG_WARN, "native %s unavailable (%s); using Python",
+                     name, type(e).__name__)
+            return None
+    try:
+        _libs[name] = ctypes.CDLL(str(so))
+    except OSError:
+        return None
+    return _libs[name]
+
+
+def get_rgbe_lib():
+    """Native RGBE RLE codec (native/rgbe_codec.cpp) with argtypes set."""
+    lib = get_lib("rgbe_codec")
+    if lib is None or hasattr(lib, "_rgbe_ready"):
+        return lib
+    u8p = ctypes.POINTER(ctypes.c_uint8)
+    lib.rgbe_encode_scanlines.restype = ctypes.c_long
+    lib.rgbe_encode_scanlines.argtypes = [
+        u8p, ctypes.c_int, ctypes.c_int, u8p, ctypes.c_long
+    ]
+    lib.rgbe_decode_scanlines.restype = ctypes.c_long
+    lib.rgbe_decode_scanlines.argtypes = [
+        u8p, ctypes.c_long, ctypes.c_int, ctypes.c_int, u8p
+    ]
+    lib._rgbe_ready = True
+    return lib
+
+
 def get_bvh_lib():
     """Compile (once) and load the native BVH builder; None if unavailable."""
     global _lib, _lib_tried
     if _lib is not None or _lib_tried:
         return _lib
     _lib_tried = True
-    if not _SRC.exists():
-        return None
-    tag = hashlib.sha256(_SRC.read_bytes()).hexdigest()[:16]
-    so = _cache_dir() / f"libbvh_{tag}.so"
-    if not so.exists():
-        cmd = [
-            "g++", "-O3", "-shared", "-fPIC", "-std=c++17",
-            "-o", str(so), str(_SRC),
-        ]
-        try:
-            subprocess.run(cmd, check=True, capture_output=True, timeout=120)
-            log(LOG_INFO, "compiled native BVH builder -> %s", so)
-        except (subprocess.CalledProcessError, FileNotFoundError,
-                subprocess.TimeoutExpired) as e:
-            log_once(LOG_WARN, "native BVH builder unavailable (%s); using NumPy",
-                     type(e).__name__)
-            return None
-    try:
-        lib = ctypes.CDLL(str(so))
-    except OSError:
+    lib = get_lib("bvh_builder")
+    if lib is None:
         return None
     lib.lucille_build_bvh.restype = ctypes.c_int
     lib.lucille_build_bvh.argtypes = [

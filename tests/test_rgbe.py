@@ -70,3 +70,53 @@ class TestFileIO:
         assert img.shape == (60, 80, 3)
         assert 0.0 <= img.min() and img.max() <= 1.5
         assert 0.1 < img.mean() < 0.8
+
+
+class TestNativeCodec:
+    """The C++ RLE codec (native/rgbe_codec.cpp) must be byte-identical
+    to the Python encoder and invert it exactly."""
+
+    def test_encode_identical_and_decode_inverts(self):
+        import numpy as np
+
+        from lucille_tpu.imageio.rgbe import (
+            _native_decode,
+            _native_encode,
+            _rle_encode_component,
+            float_to_rgbe,
+        )
+
+        rng = np.random.default_rng(9)
+        img = rng.random((32, 96, 3)).astype(np.float32) * 8
+        img[4:12, 10:60] = 0.25  # long runs
+        img[20, ::2] = 0.0  # alternating (literal-heavy)
+        rgbe = float_to_rgbe(img)
+        native = _native_encode(rgbe, 96, 32)
+        if native is None:
+            import pytest
+
+            pytest.skip("native toolchain unavailable")
+        py = bytearray()
+        for y in range(32):
+            py += bytes([2, 2, 0, 96])
+            for c in range(4):
+                py += _rle_encode_component(rgbe[y, :, c])
+        assert native == bytes(py)
+
+        back = _native_decode(np.frombuffer(native, np.uint8), 96, 32)
+        np.testing.assert_array_equal(back, rgbe)
+
+    def test_decode_rejects_truncated(self):
+        import numpy as np
+
+        from lucille_tpu.imageio.rgbe import _native_decode, _native_encode, float_to_rgbe
+
+        img = np.random.default_rng(3).random((8, 64, 3)).astype(np.float32)
+        rgbe = float_to_rgbe(img)
+        enc = _native_encode(rgbe, 64, 8)
+        if enc is None:
+            import pytest
+
+            pytest.skip("native toolchain unavailable")
+        trunc = np.frombuffer(enc[: len(enc) // 2], np.uint8)
+        assert _native_decode(trunc, 64, 8) is None  # no overrun, clean fail
