@@ -170,7 +170,7 @@ def mxu_closest_hit(scene, org, dirn, tmax=None, tmin: float = 0.0, W=None):
         "v": v,
         "tri": jnp.minimum(tri, scene.tri_v0.shape[0] - 1),
         "hit": tri >= 0,
-        "ntests": B * scene.n_tris,
+        "ntests": jnp.float32(float(B) * scene.n_tris),
         "ntrav": 0,
     }
 

@@ -94,19 +94,28 @@ _R2_A2 = 0.5698402909980532
 
 # VMEM budget gate: triangle matrix bytes that still leave room for the
 # (TC_OCC, RAY_BLOCK) hoisted cross-product tiles (~2 MB) inside ~16 MB.
-MAX_TRIS_FOR_MEGAKERNEL = 49152
+MAX_TRIS_FOR_MEGAKERNEL = 131072
+
+# per-(tile, stratum) slab culling compiles in only for scenes with at
+# least this many triangle tiles — below it the conditionals cost more
+# than the skipped work (measured -20% on the 3-tile bench scene)
+_STRATUM_CULL_MIN_TILES = 8
 
 
 def _ao_kernel(
     nact_ref,
     rays_ref,
     jit_ref,
+    boxes_ref,
     tris_ref,
     occ_ref,
     wx_ref,
     wy_ref,
     wz_ref,
     flag_ref,
+    ix_ref,
+    iy_ref,
+    iz_ref,
     *,
     n_tri_tiles,
     ntheta,
@@ -156,9 +165,23 @@ def _ao_kernel(
             lx = jnp.cos(phi) * cos_t
             ly = jnp.sin(phi) * cos_t
             lz = jnp.sqrt(jnp.maximum(1.0 - z0, 0.0))
-            wx_ref[pl.ds(s, 1), :] = lx * b0x + ly * b1x + lz * b2x
-            wy_ref[pl.ds(s, 1), :] = lx * b0y + ly * b1y + lz * b2y
-            wz_ref[pl.ds(s, 1), :] = lx * b0z + ly * b1z + lz * b2z
+            wx = lx * b0x + ly * b1x + lz * b2x
+            wy = lx * b0y + ly * b1y + lz * b2y
+            wz = lx * b0z + ly * b1z + lz * b2z
+            wx_ref[pl.ds(s, 1), :] = wx
+            wy_ref[pl.ds(s, 1), :] = wy
+            wz_ref[pl.ds(s, 1), :] = wz
+            if n_tri_tiles >= _STRATUM_CULL_MIN_TILES:
+                # bounded reciprocals for the per-stratum slab cull
+                ix_ref[pl.ds(s, 1), :] = 1.0 / jnp.where(
+                    jnp.abs(wx) > 1e-20, wx, 1e-20
+                )
+                iy_ref[pl.ds(s, 1), :] = 1.0 / jnp.where(
+                    jnp.abs(wy) > 1e-20, wy, 1e-20
+                )
+                iz_ref[pl.ds(s, 1), :] = 1.0 / jnp.where(
+                    jnp.abs(wz) > 1e-20, wz, 1e-20
+                )
             flag_ref[pl.ds(s, 1), :] = jnp.zeros((1, rb), jnp.float32)
             return 0
 
@@ -172,8 +195,37 @@ def _ao_kernel(
         # terms), strata inner (triple-product sign tests only).
         # Everything is (TC, RB): triangles in sublanes, rays in lanes,
         # so the per-stratum direction rows broadcast with no relayout.
+        # Tiles whose AABB lies entirely below every ray's tangent plane
+        # are skipped whole: hemisphere directions satisfy d.N >= 0, so a
+        # hit point always has (x - P).N >= 0 — if the bbox corner that
+        # maximizes (c - P).N is still negative for all lanes, no stratum
+        # of any lane can reach the tile (the wavefront analog of the
+        # reference's beam culling, bvh.c:2548-2830).
+        hit_row_m = rays_ref[12:13, :]
+
         def tile_body(ti, _):
             base = ti * TC_OCC
+            cx = jnp.where(b2x > 0, boxes_ref[3, ti], boxes_ref[0, ti])
+            cy = jnp.where(b2y > 0, boxes_ref[4, ti], boxes_ref[1, ti])
+            cz = jnp.where(b2z > 0, boxes_ref[5, ti], boxes_ref[2, ti])
+            above = (
+                (cx - rays_ref[0:1, :]) * b2x
+                + (cy - rays_ref[1:2, :]) * b2y
+                + (cz - rays_ref[2:3, :]) * b2z
+            ) >= 0.0
+            live = jnp.any(above & (hit_row_m > 0.5))
+
+            return jax.lax.cond(
+                live, lambda: _tile_work(ti, base), lambda: 0
+            )
+
+        def _tile_work(ti, base):
+            bminx = boxes_ref[0, ti]
+            bminy = boxes_ref[1, ti]
+            bminz = boxes_ref[2, ti]
+            bmaxx = boxes_ref[3, ti]
+            bmaxy = boxes_ref[4, ti]
+            bmaxz = boxes_ref[5, ti]
             # (1, TC) row slices -> (TC, 1) columns, 12 transposes per
             # tile (vs 3 per stratum per tile ray-major)
             v0x = tris_ref[0, pl.ds(base, TC_OCC)][:, None]
@@ -209,26 +261,62 @@ def _ao_kernel(
             ccaz = pcx * pay - pcy * pax
             s_n = pax * nx + pay * ny + paz * nz  # (A - o) . n
 
-            def strat(s, _):
+            def _pair_work(s, prev):
                 dx = wx_ref[pl.ds(s, 1), :]  # (1, RB) — no transpose
                 dy = wy_ref[pl.ds(s, 1), :]
                 dz = wz_ref[pl.ds(s, 1), :]
                 U = dx * cbcx + dy * cbcy + dz * cbcz
                 V = dx * ccax + dy * ccay + dz * ccaz
-                dn = dx * nx + dy * ny + dz * nz  # d . n (MT determinant, negated)
+                dn = dx * nx + dy * ny + dz * nz  # d.n (MT det, negated)
                 # U + V + W = dn, so the third triple product is free
                 W = dn - U - V
                 inside = (jnp.minimum(jnp.minimum(U, V), W) >= 0.0) | (
                     jnp.maximum(jnp.maximum(U, V), W) <= 0.0
                 )
-                # t = s_n / dn > 0 without the division; DET_EPS keeps the
-                # reference's degenerate-determinant rejection (bvh.c:746)
+                # t = s_n/dn > 0 without the division; DET_EPS keeps the
+                # reference's degenerate-det rejection (bvh.c:746)
                 hit = inside & (s_n * dn > 0.0) & (jnp.abs(dn) > DET_EPS)
                 any1 = jnp.any(hit, axis=0, keepdims=True)  # (1, RB)
-                prev = flag_ref[pl.ds(s, 1), :]
                 flag_ref[pl.ds(s, 1), :] = jnp.maximum(
                     prev, any1.astype(jnp.float32)
                 )
+
+            def strat(s, _):
+                # per-(tile, stratum) slab cull + occluded-lane early-out:
+                # ~30 (1, RB)-row ops decide whether the (TC, RB) triple
+                # products (3300 op-equivalents) run at all.  Strata are
+                # theta bands, so near-normal strata skip distant tiles
+                # and near-horizon strata skip overhead ones.  On small
+                # scenes the conditional is pure overhead (measured -20%
+                # on the 3-tile bench scene), so it only compiles in past
+                # _STRATUM_CULL_MIN_TILES.
+                prev = flag_ref[pl.ds(s, 1), :]
+                if n_tri_tiles < _STRATUM_CULL_MIN_TILES:
+                    _pair_work(s, prev)
+                    return 0
+                ivx = ix_ref[pl.ds(s, 1), :]
+                ivy = iy_ref[pl.ds(s, 1), :]
+                ivz = iz_ref[pl.ds(s, 1), :]
+                t0x = (bminx - ox) * ivx
+                t1x = (bmaxx - ox) * ivx
+                t0y = (bminy - oy) * ivy
+                t1y = (bmaxy - oy) * ivy
+                t0z = (bminz - oz) * ivz
+                t1z = (bmaxz - oz) * ivz
+                tn = jnp.maximum(
+                    jnp.maximum(jnp.minimum(t0x, t1x), jnp.minimum(t0y, t1y)),
+                    jnp.minimum(t0z, t1z),
+                )
+                tf = jnp.minimum(
+                    jnp.minimum(jnp.maximum(t0x, t1x), jnp.maximum(t0y, t1y)),
+                    jnp.maximum(t0z, t1z),
+                )
+                reach = (tn <= tf) & (tf > 0.0) & (prev < 0.5)
+
+                @pl.when(jnp.any(reach))
+                def _pair():
+                    _pair_work(s, prev)
+
                 return 0
 
             jax.lax.fori_loop(0, nsamples, strat, 0)
@@ -378,7 +466,12 @@ def _pallas_ao_occlusion(
     kernel = partial(
         _ao_kernel, n_tri_tiles=n_tri_tiles, ntheta=ntheta, nphi=nphi
     )
-    scratch_shapes = [pltpu.VMEM((nsamples, AO_RAY_BLOCK), jnp.float32)] * 4
+    # wx/wy/wz directions, flags, and reciprocal-direction rows
+    scratch_shapes = [pltpu.VMEM((nsamples, AO_RAY_BLOCK), jnp.float32)] * 7
+
+    from lucille_tpu.accel.pallas_isect import _pack_boxes
+
+    boxes = _pack_boxes(scene, npad)
 
     occ_sorted = pl.pallas_call(
         kernel,
@@ -387,13 +480,14 @@ def _pallas_ao_occlusion(
             pl.BlockSpec(memory_space=pltpu.SMEM),
             spec((16, AO_RAY_BLOCK), lambda i: (0, i)),
             spec((8, AO_RAY_BLOCK), lambda i: (0, i)),
+            pl.BlockSpec(memory_space=pltpu.SMEM),
             spec((16, npad), lambda i: (0, 0)),
         ],
         out_specs=spec((1, AO_RAY_BLOCK), lambda i: (0, i)),
         out_shape=jax.ShapeDtypeStruct((1, Bpad), jnp.float32),
         scratch_shapes=scratch_shapes,
         interpret=interpret,
-    )(nact, rays, jitter, tris)
+    )(nact, rays, jitter, boxes, tris)
     # scatter occlusion counts back to raster order
     occ = jnp.zeros((Bpad,), jnp.float32).at[order].set(occ_sorted[0])
     return occ[:B]

@@ -50,81 +50,131 @@ def _load_tile_cols(tris_ref, base, rows):
     return [tris_ref[r, pl.ds(base, TC)][:, None] for r in rows]
 
 
-def _isect_kernel(rays_ref, tris_ref, t_ref, u_ref, v_ref, tri_ref, *, n_tri_tiles):
-    """One ray block against every triangle tile; rays stay in lanes."""
+def _isect_kernel(
+    rays_ref,
+    boxes_ref,
+    tris_ref,
+    t_ref,
+    u_ref,
+    v_ref,
+    tri_ref,
+    ntile_ref,
+    t_s,
+    u_s,
+    v_s,
+    tri_s,
+    *,
+    n_tri_tiles,
+):
+    """One ray block against every triangle tile; rays stay in lanes.
+
+    Tiles carry AABBs (boxes_ref, SMEM): a tile whose box no ray in the
+    block can reach — the slab test also uses the block's current best t
+    — is skipped whole via pl.when.  With triangles in spatial (Morton)
+    order this is the wavefront analog of the reference's beam tracing
+    (bvh.c:545-668): one coherent bundle amortizes one culling test."""
+    import jax.experimental.pallas as pl
+
     ox = rays_ref[0:1, :]  # (1, RB)
     oy = rays_ref[1:2, :]
     oz = rays_ref[2:3, :]
     dx = rays_ref[3:4, :]
     dy = rays_ref[4:5, :]
     dz = rays_ref[5:6, :]
+    # bounded inverse avoids inf*0 NaNs in the slab test (traverse.py)
+    invx = 1.0 / jnp.where(jnp.abs(dx) > 1e-20, dx, 1e-20)
+    invy = 1.0 / jnp.where(jnp.abs(dy) > 1e-20, dy, 1e-20)
+    invz = 1.0 / jnp.where(jnp.abs(dz) > 1e-20, dz, 1e-20)
 
-    def body(i, carry):
-        t_best, u_best, v_best, tri_best = carry  # (1, RB) rows
+    t_s[:, :] = jnp.full(t_s.shape, jnp.inf, jnp.float32)
+    u_s[:, :] = jnp.zeros(u_s.shape, jnp.float32)
+    v_s[:, :] = jnp.zeros(v_s.shape, jnp.float32)
+    tri_s[:, :] = jnp.full(tri_s.shape, -1, jnp.int32)
+
+    def body(i, ntested):
         base = i * TC
-        (v0x, v0y, v0z, e1x, e1y, e1z, e2x, e2y, e2z) = _load_tile_cols(
-            tris_ref, base, range(9)
+        # block-vs-tile-AABB slab test (1, RB)
+        t0x = (boxes_ref[0, i] - ox) * invx
+        t1x = (boxes_ref[3, i] - ox) * invx
+        t0y = (boxes_ref[1, i] - oy) * invy
+        t1y = (boxes_ref[4, i] - oy) * invy
+        t0z = (boxes_ref[2, i] - oz) * invz
+        t1z = (boxes_ref[5, i] - oz) * invz
+        tn = jnp.maximum(
+            jnp.maximum(jnp.minimum(t0x, t1x), jnp.minimum(t0y, t1y)),
+            jnp.minimum(t0z, t1z),
         )
-
-        # p = d x e2 : (TC, RB) per component (broadcast (TC,1)x(1,RB))
-        px = dy * e2z - dz * e2y
-        py = dz * e2x - dx * e2z
-        pz = dx * e2y - dy * e2x
-        a = e1x * px + e1y * py + e1z * pz
-        valid = jnp.abs(a) > DET_EPS
-        inva = jnp.where(valid, 1.0 / jnp.where(valid, a, 1.0), 0.0)
-
-        sx = ox - v0x
-        sy = oy - v0y
-        sz = oz - v0z
-        qx = sy * e1z - sz * e1y
-        qy = sz * e1x - sx * e1z
-        qz = sx * e1y - sy * e1x
-
-        u = (sx * px + sy * py + sz * pz) * inva
-        v = (qx * dx + qy * dy + qz * dz) * inva
-        t = (e2x * qx + e2y * qy + e2z * qz) * inva
-
-        hit = (
-            valid
-            & (u >= 0.0)
-            & (u <= 1.0)
-            & (v >= 0.0)
-            & (u + v <= 1.0)
-            & (t > 0.0)
-            & (t < t_best)
+        tf = jnp.minimum(
+            jnp.minimum(jnp.maximum(t0x, t1x), jnp.maximum(t0y, t1y)),
+            jnp.maximum(t0z, t1z),
         )
-        t_m = jnp.where(hit, t, jnp.inf)
-        # gather-free argmin selection (Mosaic has no take_along_axis):
-        # min-reduce t over the triangle (sublane) axis, recover the row
-        # by min-reducing masked iota, then select u/v with a masked sum.
-        tc = jnp.min(t_m, axis=0, keepdims=True)  # (1, RB)
-        row = jax.lax.broadcasted_iota(jnp.int32, t_m.shape, 0)
-        is_min = t_m <= tc
-        j = jnp.min(jnp.where(is_min, row, t_m.shape[0]), axis=0, keepdims=True)
-        sel = row == j
-        u_sel = jnp.sum(jnp.where(sel, u, 0.0), axis=0, keepdims=True)
-        v_sel = jnp.sum(jnp.where(sel, v, 0.0), axis=0, keepdims=True)
-        better = tc < t_best
-        t_best = jnp.where(better, tc, t_best)
-        u_best = jnp.where(better, u_sel, u_best)
-        v_best = jnp.where(better, v_sel, v_best)
-        tri_best = jnp.where(better, base + j, tri_best)
-        return (t_best, u_best, v_best, tri_best)
+        reach = (tn <= tf) & (tf > 0.0) & (tn < t_s[0:1, :])
+        live = jnp.any(reach)
 
-    init = (
-        jnp.full((1, RAY_BLOCK), jnp.inf, jnp.float32),
-        jnp.zeros((1, RAY_BLOCK), jnp.float32),
-        jnp.zeros((1, RAY_BLOCK), jnp.float32),
-        jnp.full((1, RAY_BLOCK), -1, jnp.int32),
-    )
-    t_best, u_best, v_best, tri_best = jax.lax.fori_loop(
-        0, n_tri_tiles, body, init
-    )
-    t_ref[:, :] = t_best
-    u_ref[:, :] = u_best
-    v_ref[:, :] = v_best
-    tri_ref[:, :] = tri_best
+        @pl.when(live)
+        def _tile():
+            (v0x, v0y, v0z, e1x, e1y, e1z, e2x, e2y, e2z) = _load_tile_cols(
+                tris_ref, base, range(9)
+            )
+            t_best = t_s[0:1, :]
+
+            # p = d x e2 : (TC, RB) per component
+            px = dy * e2z - dz * e2y
+            py = dz * e2x - dx * e2z
+            pz = dx * e2y - dy * e2x
+            a = e1x * px + e1y * py + e1z * pz
+            valid = jnp.abs(a) > DET_EPS
+            inva = jnp.where(valid, 1.0 / jnp.where(valid, a, 1.0), 0.0)
+
+            sx = ox - v0x
+            sy = oy - v0y
+            sz = oz - v0z
+            qx = sy * e1z - sz * e1y
+            qy = sz * e1x - sx * e1z
+            qz = sx * e1y - sy * e1x
+
+            u = (sx * px + sy * py + sz * pz) * inva
+            v = (qx * dx + qy * dy + qz * dz) * inva
+            t = (e2x * qx + e2y * qy + e2z * qz) * inva
+
+            hit = (
+                valid
+                & (u >= 0.0)
+                & (u <= 1.0)
+                & (v >= 0.0)
+                & (u + v <= 1.0)
+                & (t > 0.0)
+                & (t < t_best)
+            )
+            t_m = jnp.where(hit, t, jnp.inf)
+            # gather-free argmin selection (Mosaic has no take_along_axis):
+            # min-reduce t over the triangle (sublane) axis, recover the
+            # row by min-reducing masked iota, select u/v by masked sum.
+            tc = jnp.min(t_m, axis=0, keepdims=True)  # (1, RB)
+            row = jax.lax.broadcasted_iota(jnp.int32, t_m.shape, 0)
+            is_min = t_m <= tc
+            j = jnp.min(
+                jnp.where(is_min, row, t_m.shape[0]), axis=0, keepdims=True
+            )
+            sel = row == j
+            u_sel = jnp.sum(jnp.where(sel, u, 0.0), axis=0, keepdims=True)
+            v_sel = jnp.sum(jnp.where(sel, v, 0.0), axis=0, keepdims=True)
+            better = tc < t_best
+            t_s[:, :] = jnp.where(better, tc, t_best)
+            u_s[:, :] = jnp.where(better, u_sel, u_s[0:1, :])
+            v_s[:, :] = jnp.where(better, v_sel, v_s[0:1, :])
+            tri_s[:, :] = jnp.where(better, base + j, tri_s[0:1, :])
+
+        return ntested + live.astype(jnp.int32)
+
+    ntested = jax.lax.fori_loop(0, n_tri_tiles, body, jnp.int32(0))
+    t_ref[:, :] = t_s[:, :]
+    u_ref[:, :] = u_s[:, :]
+    v_ref[:, :] = v_s[:, :]
+    tri_ref[:, :] = tri_s[:, :]
+    # Mosaic requires lane-aligned output blocks: broadcast the scalar
+    # across the row; the wrapper reads one lane per block
+    ntile_ref[:, :] = jnp.full(ntile_ref.shape, ntested, jnp.int32)
 
 
 # imported late so module import works without pallas (e.g. docs builds)
@@ -150,6 +200,34 @@ def _pack(scene):
     return tris, npad
 
 
+def _pack_boxes(scene, npad):
+    """Per-tile AABBs -> (8, n_tiles) f32, rows [min xyz | max xyz | pad].
+
+    Pad triangles (beyond scene.n_tris) contribute +inf/-inf, so an
+    all-pad tile has an inverted box and the slab test culls it."""
+    nreal = scene.n_tris
+    npad_scene = scene.tri_v0.shape[0]
+    v0 = scene.tri_v0
+    v1 = v0 + scene.tri_e1
+    v2 = v0 + scene.tri_e2
+    mins = jnp.minimum(jnp.minimum(v0, v1), v2)
+    maxs = jnp.maximum(jnp.maximum(v0, v1), v2)
+    real = (jnp.arange(npad_scene) < nreal)[:, None]
+    mins = jnp.where(real, mins, jnp.inf)
+    maxs = jnp.where(real, maxs, -jnp.inf)
+    if npad > npad_scene:
+        pad = npad - npad_scene
+        mins = jnp.concatenate([mins, jnp.full((pad, 3), jnp.inf)])
+        maxs = jnp.concatenate([maxs, jnp.full((pad, 3), -jnp.inf)])
+    n_tiles = npad // TC
+    tmin = mins.reshape(n_tiles, TC, 3).min(axis=1)  # (n_tiles, 3)
+    tmax = maxs.reshape(n_tiles, TC, 3).max(axis=1)
+    boxes = jnp.zeros((8, n_tiles), jnp.float32)
+    boxes = boxes.at[0:3].set(tmin.T)
+    boxes = boxes.at[3:6].set(tmax.T)
+    return boxes
+
+
 def pallas_closest_hit(scene, org, dirn, interpret: bool | None = None):
     if interpret is None:
         # compiled Mosaic needs a real TPU; interpret elsewhere (tests)
@@ -164,6 +242,7 @@ def _pallas_closest_hit(scene, org, dirn, interpret: bool = False):
     B = org.shape[0]
     assert B % RAY_BLOCK == 0, f"B={B} not a multiple of {RAY_BLOCK}"
     tris, npad = _pack(scene)
+    boxes = _pack_boxes(scene, npad)
     n_tri_tiles = npad // TC
 
     rays = jnp.zeros((8, B), jnp.float32)
@@ -171,16 +250,23 @@ def _pallas_closest_hit(scene, org, dirn, interpret: bool = False):
     rays = rays.at[3:6].set(dirn.T)
 
     grid = (B // RAY_BLOCK,)
+    n_blocks = B // RAY_BLOCK
     kernel = partial(_isect_kernel, n_tri_tiles=n_tri_tiles)
     out_shape = [
         jax.ShapeDtypeStruct((1, B), jnp.float32),  # t
         jax.ShapeDtypeStruct((1, B), jnp.float32),  # u
         jax.ShapeDtypeStruct((1, B), jnp.float32),  # v
         jax.ShapeDtypeStruct((1, B), jnp.int32),  # tri
+        jax.ShapeDtypeStruct((1, B), jnp.int32),  # tiles tested (per block)
     ]
     ray_spec = pl.BlockSpec(
         (8, RAY_BLOCK), lambda i: (0, i), memory_space=_VMEM
     ) if _VMEM else pl.BlockSpec((8, RAY_BLOCK), lambda i: (0, i))
+    box_spec = (
+        pl.BlockSpec(memory_space=pltpu.SMEM)
+        if pltpu
+        else pl.BlockSpec((8, n_tri_tiles), lambda i: (0, 0))
+    )
     tri_spec = (
         pl.BlockSpec((16, npad), lambda i: (0, 0), memory_space=_VMEM)
         if _VMEM
@@ -191,15 +277,23 @@ def _pallas_closest_hit(scene, org, dirn, interpret: bool = False):
         if _VMEM
         else pl.BlockSpec((1, RAY_BLOCK), lambda i: (0, i))
     )
+    nt_spec = out_spec  # same (1, RAY_BLOCK) row blocks as t/u/v/tri
+    scratch = [
+        pltpu.VMEM((1, RAY_BLOCK), jnp.float32),
+        pltpu.VMEM((1, RAY_BLOCK), jnp.float32),
+        pltpu.VMEM((1, RAY_BLOCK), jnp.float32),
+        pltpu.VMEM((1, RAY_BLOCK), jnp.int32),
+    ]
 
-    t, u, v, tri = pl.pallas_call(
+    t, u, v, tri, ntile = pl.pallas_call(
         kernel,
         grid=grid,
-        in_specs=[ray_spec, tri_spec],
-        out_specs=[out_spec] * 4,
+        in_specs=[ray_spec, box_spec, tri_spec],
+        out_specs=[out_spec] * 4 + [nt_spec],
         out_shape=out_shape,
+        scratch_shapes=scratch,
         interpret=interpret,
-    )(rays, tris)
+    )(rays, boxes, tris)
 
     t = t[0]
     u = u[0]
@@ -211,14 +305,20 @@ def _pallas_closest_hit(scene, org, dirn, interpret: bool = False):
         "v": v,
         "tri": jnp.minimum(tri, scene.tri_v0.shape[0] - 1),
         "hit": tri >= 0,
-        "ntests": B * scene.n_tris,
-        "ntrav": 0,
+        # actual tests: surviving tiles x TC triangles x block rays
+        # (one lane per block carries the block's tile count)
+        "ntests": jnp.sum(ntile[0, ::RAY_BLOCK].astype(jnp.float32))
+        * (TC * RAY_BLOCK),
+        "ntrav": jnp.sum(ntile[0, ::RAY_BLOCK].astype(jnp.float32)),
     }
 
 
-def _anyhit_kernel(rays_ref, tris_ref, occ_ref, *, n_tri_tiles):
+def _anyhit_kernel(rays_ref, boxes_ref, tris_ref, occ_ref, occ_s, *, n_tri_tiles):
     """Occlusion-only variant: fused MT + window tests + any-reduce,
-    same lane-major layout as the closest-hit kernel."""
+    same lane-major layout and tile-AABB culling as the closest-hit
+    kernel; a ray already occluded also drops out of the slab test."""
+    import jax.experimental.pallas as pl
+
     ox = rays_ref[0:1, :]
     oy = rays_ref[1:2, :]
     oz = rays_ref[2:3, :]
@@ -226,42 +326,68 @@ def _anyhit_kernel(rays_ref, tris_ref, occ_ref, *, n_tri_tiles):
     dy = rays_ref[4:5, :]
     dz = rays_ref[5:6, :]
     tmax = rays_ref[6:7, :]  # per-ray t ceiling in row 6
+    invx = 1.0 / jnp.where(jnp.abs(dx) > 1e-20, dx, 1e-20)
+    invy = 1.0 / jnp.where(jnp.abs(dy) > 1e-20, dy, 1e-20)
+    invz = 1.0 / jnp.where(jnp.abs(dz) > 1e-20, dz, 1e-20)
 
-    def body(i, occ):
+    occ_s[:, :] = jnp.zeros(occ_s.shape, jnp.float32)
+
+    def body(i, _):
         base = i * TC
-        (v0x, v0y, v0z, e1x, e1y, e1z, e2x, e2y, e2z) = _load_tile_cols(
-            tris_ref, base, range(9)
+        t0x = (boxes_ref[0, i] - ox) * invx
+        t1x = (boxes_ref[3, i] - ox) * invx
+        t0y = (boxes_ref[1, i] - oy) * invy
+        t1y = (boxes_ref[4, i] - oy) * invy
+        t0z = (boxes_ref[2, i] - oz) * invz
+        t1z = (boxes_ref[5, i] - oz) * invz
+        tn = jnp.maximum(
+            jnp.maximum(jnp.minimum(t0x, t1x), jnp.minimum(t0y, t1y)),
+            jnp.minimum(t0z, t1z),
+        )
+        tf = jnp.minimum(
+            jnp.minimum(jnp.maximum(t0x, t1x), jnp.maximum(t0y, t1y)),
+            jnp.maximum(t0z, t1z),
+        )
+        reach = (
+            (tn <= tf) & (tf > 0.0) & (tn < tmax) & (occ_s[0:1, :] < 0.5)
         )
 
-        px = dy * e2z - dz * e2y
-        py = dz * e2x - dx * e2z
-        pz = dx * e2y - dy * e2x
-        a = e1x * px + e1y * py + e1z * pz
-        valid = jnp.abs(a) > DET_EPS
-        inva = jnp.where(valid, 1.0 / jnp.where(valid, a, 1.0), 0.0)
-        sx = ox - v0x
-        sy = oy - v0y
-        sz = oz - v0z
-        qx = sy * e1z - sz * e1y
-        qy = sz * e1x - sx * e1z
-        qz = sx * e1y - sy * e1x
-        u = (sx * px + sy * py + sz * pz) * inva
-        v = (qx * dx + qy * dy + qz * dz) * inva
-        t = (e2x * qx + e2y * qy + e2z * qz) * inva
-        hit = (
-            valid
-            & (u >= 0.0)
-            & (u <= 1.0)
-            & (v >= 0.0)
-            & (u + v <= 1.0)
-            & (t > 0.0)
-            & (t < tmax)
-        )
-        return occ | jnp.any(hit, axis=0, keepdims=True)
+        @pl.when(jnp.any(reach))
+        def _tile():
+            (v0x, v0y, v0z, e1x, e1y, e1z, e2x, e2y, e2z) = _load_tile_cols(
+                tris_ref, base, range(9)
+            )
+            px = dy * e2z - dz * e2y
+            py = dz * e2x - dx * e2z
+            pz = dx * e2y - dy * e2x
+            a = e1x * px + e1y * py + e1z * pz
+            valid = jnp.abs(a) > DET_EPS
+            inva = jnp.where(valid, 1.0 / jnp.where(valid, a, 1.0), 0.0)
+            sx = ox - v0x
+            sy = oy - v0y
+            sz = oz - v0z
+            qx = sy * e1z - sz * e1y
+            qy = sz * e1x - sx * e1z
+            qz = sx * e1y - sy * e1x
+            u = (sx * px + sy * py + sz * pz) * inva
+            v = (qx * dx + qy * dy + qz * dz) * inva
+            t = (e2x * qx + e2y * qy + e2z * qz) * inva
+            hit = (
+                valid
+                & (u >= 0.0)
+                & (u <= 1.0)
+                & (v >= 0.0)
+                & (u + v <= 1.0)
+                & (t > 0.0)
+                & (t < tmax)
+            )
+            any1 = jnp.any(hit, axis=0, keepdims=True)
+            occ_s[:, :] = jnp.maximum(occ_s[0:1, :], any1.astype(jnp.float32))
 
-    occ0 = jnp.zeros((1, RAY_BLOCK), dtype=jnp.bool_)
-    occ = jax.lax.fori_loop(0, n_tri_tiles, body, occ0)
-    occ_ref[:, :] = occ.astype(jnp.float32)
+        return 0
+
+    jax.lax.fori_loop(0, n_tri_tiles, body, 0)
+    occ_ref[:, :] = occ_s[:, :]
 
 
 def pallas_any_hit(scene, org, dirn, tmax=None, interpret: bool | None = None):
@@ -276,6 +402,7 @@ def _pallas_any_hit(scene, org, dirn, tmax=None, interpret: bool = False):
     B = org.shape[0]
     assert B % RAY_BLOCK == 0
     tris, npad = _pack(scene)
+    boxes = _pack_boxes(scene, npad)
     n_tri_tiles = npad // TC
     rays = jnp.zeros((8, B), jnp.float32)
     rays = rays.at[0:3].set(org.T)
@@ -292,6 +419,11 @@ def _pallas_any_hit(scene, org, dirn, tmax=None, interpret: bool = False):
         if _VMEM
         else pl.BlockSpec((8, RAY_BLOCK), lambda i: (0, i))
     )
+    box_spec = (
+        pl.BlockSpec(memory_space=pltpu.SMEM)
+        if pltpu
+        else pl.BlockSpec((8, n_tri_tiles), lambda i: (0, 0))
+    )
     tri_spec = (
         pl.BlockSpec((16, npad), lambda i: (0, 0), memory_space=_VMEM)
         if _VMEM
@@ -305,9 +437,10 @@ def _pallas_any_hit(scene, org, dirn, tmax=None, interpret: bool = False):
     occ = pl.pallas_call(
         kernel,
         grid=grid,
-        in_specs=[ray_spec, tri_spec],
+        in_specs=[ray_spec, box_spec, tri_spec],
         out_specs=out_spec,
         out_shape=jax.ShapeDtypeStruct((1, B), jnp.float32),
+        scratch_shapes=[pltpu.VMEM((1, RAY_BLOCK), jnp.float32)],
         interpret=interpret,
-    )(rays, tris)
+    )(rays, boxes, tris)
     return occ[0] > 0.5

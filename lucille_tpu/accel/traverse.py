@@ -65,9 +65,45 @@ def _mt_single(org, dirn, v0, e1, e2):
     return t, u, v, hit
 
 
+# Largest wavefront the traversal loop takes in one piece: beyond ~2^17
+# rays the gathered while_loop faults the TPU runtime (reproduced at
+# 230400 rays / 32k tris on v5e via axon; 131072 is fine), and chunking
+# also bounds the gather temporaries.  Larger wavefronts are processed in
+# static slices and re-concatenated.
+_MAX_WAVEFRONT = 65536
+
+
+def _chunked(impl, scene, org, dirn, tmax, tmin):
+    B = org.shape[0]
+    if B <= _MAX_WAVEFRONT:
+        return impl(scene, org, dirn, tmax, tmin)
+    outs = []
+    for s in range(0, B, _MAX_WAVEFRONT):
+        e = min(B, s + _MAX_WAVEFRONT)
+        tm = tmax
+        if tm is not None and hasattr(tm, "shape") and getattr(tm, "shape", ()):
+            tm = tmax[s:e]
+        outs.append(impl(scene, org[s:e], dirn[s:e], tm, tmin))
+    if isinstance(outs[0], dict):
+        res = {}
+        for k in outs[0]:
+            if outs[0][k].ndim == 0:  # ntrav/ntests counters
+                res[k] = sum(o[k] for o in outs)
+            else:
+                res[k] = jnp.concatenate([o[k] for o in outs])
+        return res
+    return jnp.concatenate(outs)
+
+
 def bvh_closest_hit(scene, org, dirn, tmax=None, tmin: float = 0.0):
     """Closest hit via skip-link traversal.  Same contract as
-    brute_closest_hit."""
+    brute_closest_hit.  Wavefronts beyond _MAX_WAVEFRONT are chunked."""
+    if org.shape[0] > _MAX_WAVEFRONT:
+        return _chunked(_bvh_closest_hit_impl, scene, org, dirn, tmax, tmin)
+    return _bvh_closest_hit_impl(scene, org, dirn, tmax, tmin)
+
+
+def _bvh_closest_hit_impl(scene, org, dirn, tmax=None, tmin: float = 0.0):
     B = org.shape[0]
     n_nodes = scene.n_nodes
     leaf = scene.leaf_size
@@ -153,7 +189,13 @@ def bvh_closest_hit(scene, org, dirn, tmax=None, tmin: float = 0.0):
 
 
 def bvh_any_hit(scene, org, dirn, tmax=None, tmin: float = 0.0):
-    """Occlusion query with first-hit early out."""
+    """Occlusion query with first-hit early out.  Chunked like closest."""
+    if org.shape[0] > _MAX_WAVEFRONT:
+        return _chunked(_bvh_any_hit_impl, scene, org, dirn, tmax, tmin)
+    return _bvh_any_hit_impl(scene, org, dirn, tmax, tmin)
+
+
+def _bvh_any_hit_impl(scene, org, dirn, tmax=None, tmin: float = 0.0):
     B = org.shape[0]
     n_nodes = scene.n_nodes
     leaf = scene.leaf_size

@@ -99,9 +99,11 @@ def build_tile_kernel(
         hitmask = aux["hit"].reshape(tile_h, tile_w, S)
         if "ntests" not in aux:
             aux = dict(aux, ntests=0, ntrav=0)
+        # statistics counters ride as f32: per-tile triangle-test counts
+        # (B * n_tris on the dense paths) overflow int32 on big scenes
         return img, {
-            "ntests": jnp.asarray(aux.get("ntests", 0), jnp.int32),
-            "ntrav": jnp.asarray(aux.get("ntrav", 0), jnp.int32),
+            "ntests": jnp.asarray(aux.get("ntests", 0), jnp.float32),
+            "ntrav": jnp.asarray(aux.get("ntrav", 0), jnp.float32),
             "nrays": nrays,
             "hit": hitmask.any(axis=2),
         }

@@ -22,7 +22,29 @@ from lucille_tpu.scene.types import SceneArrays
 
 PAD_MULTIPLE = 256  # keeps brute-force chunks and BVH leaves lane-aligned
 EPS_SCALE = 1.0e-4  # scene-relative ray-offset epsilon (f32-safe)
-AUTO_MXU_MAX_TRIS = 32768  # 'auto' accel: dense matmul up to here, BVH beyond
+AUTO_MXU_MAX_TRIS = 131072  # auto accel: culled dense kernel to here, BVH beyond
+
+
+def _morton_order(v0, v1, v2, bbmin, bbmax):
+    """Stable sort order of triangles along the Morton (Z-order) curve of
+    their centroids — the spatial-locality trick the reference applies to
+    grid cells (zorder2d.c:106, ugrid.c:745-760), applied to the dense
+    kernel's triangle tiles."""
+    c = ((v0 + v1 + v2) / 3.0).astype(np.float64)
+    ext = np.maximum(np.asarray(bbmax) - np.asarray(bbmin), 1e-12)
+    q = np.clip((c - bbmin) / ext * 1024.0, 0, 1023).astype(np.uint64)
+
+    def spread(x):
+        x = (x | (x << 16)) & np.uint64(0x030000FF)
+        x = (x | (x << 8)) & np.uint64(0x0300F00F)
+        x = (x | (x << 4)) & np.uint64(0x030C30C3)
+        x = (x | (x << 2)) & np.uint64(0x09249249)
+        return x
+
+    code = (spread(q[:, 0]) << np.uint64(2)) | (
+        spread(q[:, 1]) << np.uint64(1)
+    ) | spread(q[:, 2])
+    return np.argsort(code, kind="stable")
 
 
 def compile_scene(
@@ -178,6 +200,16 @@ def compile_scene(
             accel = accel_method
         else:
             accel = "bruteforce"
+        if accel == "pallas" and n_tris > 1:
+            # Morton-sort triangles by centroid so the Pallas kernels'
+            # 128-triangle tiles are spatially tight — that is what makes
+            # the per-(ray block, tile) AABB culling effective
+            order = _morton_order(v0, v1, v2, bbmin, bbmax)
+            v0, v1, v2 = v0[order], v1[order], v2[order]
+            geom_id = geom_id[order]
+            n0, n1, n2 = n0[order], n1[order], n2[order]
+            st0, st1, st2 = st0[order], st1[order], st2[order]
+            c0, c1, c2 = c0[order], c1[order], c2[order]
 
     # ---------------- uniform grid ---------------------------------------
     # RIB Option "raytrace" "accel_method" ["grid"] (option.c:506 token);
