@@ -200,6 +200,28 @@ def _pack(scene):
     return tris, npad
 
 
+SUPER = 16  # tiles per supertile (2048 triangles) for hierarchical culling
+
+
+def _pack_super_boxes(boxes, n_tiles):
+    """Tile boxes (8, n_tiles) -> supertile boxes (8, n_super): the
+    second level of the cull hierarchy (groups of SUPER consecutive
+    Morton-ordered tiles)."""
+    n_super = -(-n_tiles // SUPER)
+    pad = n_super * SUPER - n_tiles
+    bmin = boxes[0:3]
+    bmax = boxes[3:6]
+    if pad:
+        bmin = jnp.concatenate([bmin, jnp.full((3, pad), jnp.inf)], axis=1)
+        bmax = jnp.concatenate([bmax, jnp.full((3, pad), -jnp.inf)], axis=1)
+    smin = bmin.reshape(3, n_super, SUPER).min(axis=2)
+    smax = bmax.reshape(3, n_super, SUPER).max(axis=2)
+    out = jnp.zeros((8, n_super), jnp.float32)
+    out = out.at[0:3].set(smin)
+    out = out.at[3:6].set(smax)
+    return out, n_super
+
+
 def _pack_boxes(scene, npad):
     """Per-tile AABBs -> (8, n_tiles) f32, rows [min xyz | max xyz | pad].
 
