@@ -114,3 +114,37 @@ def test_ao_radiance_uses_megakernel_and_matches_scan():
     # to MC noise (64 strata -> sigma ~ 1/16), means much tighter
     assert abs(a.mean() - b.mean()) < 0.02
     assert np.abs(a - b).max() < 0.25
+
+
+def test_megakernel_culled_paths_match(ntheta=4, nphi=4):
+    """A soup big enough (19 tiles, 2 supertiles) to compile in the
+    per-stratum slab cull and the supertile plane cull — exact parity
+    against the uncullable plain-JAX oracle proves the culls are
+    conservative."""
+    from lucille_tpu.accel.pallas_ao import (
+        _STRATUM_CULL_MIN_TILES,
+        TC_OCC,
+        pallas_ao_occlusion,
+    )
+    from lucille_tpu.accel.pallas_isect import SUPER
+    from lucille_tpu.transport.ao import ortho_basis
+
+    ntris = TC_OCC * SUPER + 3 * TC_OCC  # 19 tiles -> 2 supertiles
+    assert ntris // TC_OCC >= _STRATUM_CULL_MIN_TILES
+    v0, v1, v2 = _random_soup(ntris, seed=13)
+    sc = _scene_from_tris(v0, v1, v2, "pallas")
+    B = 512
+    rng = np.random.default_rng(21)
+    P = jnp.asarray(rng.uniform(-4, 4, (B, 3)), jnp.float32)
+    N = rng.normal(size=(B, 3))
+    N /= np.linalg.norm(N, axis=-1, keepdims=True)
+    b0, b1, b2 = ortho_basis(jnp.asarray(N, jnp.float32))
+    hit = jnp.asarray(rng.uniform(size=B) < 0.7)
+    key = jax.random.key(17)
+
+    occ = pallas_ao_occlusion(
+        sc, P, b0, b1, b2, hit, key, ntheta, nphi, interpret=True
+    )
+    ref = _reference_occlusion(sc, P, b0, b1, b2, hit, key, ntheta, nphi)
+    np.testing.assert_array_equal(np.asarray(occ), np.asarray(ref))
+    assert float(jnp.sum(occ)) > 0  # scene dense enough to occlude
