@@ -22,40 +22,60 @@ import sys
 import time
 
 REFERENCE_CPU_RAYS_PER_SEC = 5.256651e6  # CPU-lucille, measured (see docstring)
+# CPU-lucille on plane_sphere Scene_DEFAULT_Set0.rib at 128x128 (the
+# BASELINE.json north-star scene), same harness: 3.56 M rays/s
+REFERENCE_CPU_PLANE_SPHERE = 3.56e6
 
 RIB = "/root/reference/examples/ambient_occlusion/ambient_occlusion.rib"
+RIB_PS = "/root/reference/examples/plane_sphere/Scene_DEFAULT_Set0.rib"
 
 
-def main() -> int:
-    import jax
-
+def _measure(rib, width, height, tile):
     from lucille_tpu.render.renderer import Renderer
     from lucille_tpu.ri.api import RiState
     from lucille_tpu.rib.parser import parse_rib_file
 
-    import os
-
-    width, height = 640, 480
-    tile = int(os.environ.get("BENCH_TILE", "240"))
-
     state = RiState()
-    parse_rib_file(RIB, state)
+    parse_rib_file(rib, state)
     state.Format(width, height)
     renderer = Renderer(state.scene, tile_size=tile)
-
     # warmup frame: pays the one-time device-claim latency + kernel
     # compile on the SAME renderer (a fresh Renderer would close over new
     # constants and recompile)
     renderer.render_frame()
     renderer.stats.nrays = 0
     renderer.stats.render_seconds = 0.0
-
     t0 = time.perf_counter()
     renderer.render_frame()
     dt = time.perf_counter() - t0
+    return renderer.stats.nrays, dt
 
-    rays = renderer.stats.nrays
+
+def main() -> int:
+    import jax
+
+    import os
+
+    width, height = 640, 480
+    tile = int(os.environ.get("BENCH_TILE", "240"))
+
+    rays, dt = _measure(RIB, width, height, tile)
     rays_per_sec = rays / dt
+
+    # the BASELINE.json north-star scene (plane_sphere GI)
+    ps = {}
+    try:
+        rays_ps, dt_ps = _measure(RIB_PS, 512, 512, 256)
+        ps = {
+            "plane_sphere_rays_per_sec": rays_ps / dt_ps,
+            "plane_sphere_vs_baseline": rays_ps
+            / dt_ps
+            / REFERENCE_CPU_PLANE_SPHERE,
+            "plane_sphere_seconds": dt_ps,
+        }
+    except (OSError, ValueError):  # reference tree absent
+        pass
+
     print(
         json.dumps(
             {
@@ -72,6 +92,7 @@ def main() -> int:
                     "seconds": dt,
                     "backend": jax.devices()[0].platform,
                     "device": str(jax.devices()[0]),
+                    **ps,
                 },
             }
         )
