@@ -381,6 +381,45 @@ def occlusion_test_reference(org, dirn, v0, v1, v2):
     return jnp.any(hit, axis=-1)
 
 
+def _spread3(x):
+    """Interleave the low 8 bits of x with two zero bits (int32)."""
+    x = (x | (x << 16)) & 0x030000FF
+    x = (x | (x << 8)) & 0x0300F00F
+    x = (x | (x << 4)) & 0x030C30C3
+    x = (x | (x << 2)) & 0x09249249
+    return x
+
+
+def compaction_order(scene, P_off, b2, hit, n_tri_tiles):
+    """Lane ordering for the compaction step.
+
+    Small scenes: stable hit-first partition (cheap, raster order kept).
+    Large scenes (the per-stratum culls are compiled in): live lanes are
+    additionally sorted by (shading-normal octant, Morton cell of the
+    shading point), so each 256-lane block sees nearby origins with
+    similar hemispheres — that coherence is what makes the block-level
+    `any` culls bite.  Deterministic: the key is a pure function of the
+    scene and hit data.  Returns (order, nhit)."""
+    if n_tri_tiles < _STRATUM_CULL_MIN_TILES:
+        return partition_order(hit)
+    B = hit.shape[0]
+    ext = jnp.maximum(scene.bbox_max - scene.bbox_min, 1e-12)
+    q = jnp.clip(
+        ((P_off - scene.bbox_min) / ext * 256.0).astype(jnp.int32), 0, 255
+    )
+    morton = (
+        (_spread3(q[:, 0]) << 2) | (_spread3(q[:, 1]) << 1) | _spread3(q[:, 2])
+    )
+    octant = (
+        (b2[:, 0] > 0).astype(jnp.int32) * 4
+        + (b2[:, 1] > 0).astype(jnp.int32) * 2
+        + (b2[:, 2] > 0).astype(jnp.int32)
+    )
+    key = jnp.where(hit, octant * (1 << 24) + morton, jnp.int32(1 << 29))
+    order = jnp.argsort(key, stable=True).astype(jnp.int32)
+    return order, jnp.sum(hit.astype(jnp.int32))
+
+
 def partition_order(hit):
     """Stable partition of lane indices: hit lanes first, raster order
     preserved within each class.  Returns (order, nhit): lane ``order[j]``
@@ -463,7 +502,7 @@ def _pallas_ao_occlusion(
         P_off, b0, b1, b2 = pad3(P_off), pad3(b0), pad3(b1), pad3(b2)
     else:
         hit_w = hit
-    order, nhit = partition_order(hit_w)
+    order, nhit = compaction_order(scene, P_off, b2, hit_w, n_tri_tiles)
 
     # per-lane CP-rotation bases, indexed by COMPACTED position:
     # i.i.d. uniforms, so the estimator is unchanged, and there is no
