@@ -78,7 +78,16 @@ def build_tile_kernel(
         fx = jnp.broadcast_to(px + jx, shape).reshape(-1)
         fy = jnp.broadcast_to(py + jy, shape).reshape(-1)
 
-        org, dirn = camera.generate_rays(fx, fy)
+        lens_u = None
+        if camera.dof_active:
+            # per-ray thin-lens samples; a distinct fold keeps the lens
+            # stream independent of the integrator's gather streams
+            lens_u = jax.random.uniform(
+                jax.random.fold_in(key, 0x10EF),
+                fx.shape + (2,),
+                dtype=jnp.float32,
+            )
+        org, dirn = camera.generate_rays(fx, fy, lens_u)
         radiance, aux = integrator(
             scene,
             lights,
@@ -201,6 +210,19 @@ class Renderer:
         if key is None:
             key = jax.random.key(0)
 
+        # RiCropWindow: fractional window -> raster rect (RiSpec rounding:
+        # [ceil(W*xmin), ceil(W*xmax)-1]).  Tiles stay anchored on the
+        # full-frame grid and RNG keys fold on tile ORIGIN, so the pixels
+        # inside the crop are bit-identical to the same pixels of a full
+        # render; pixels outside stay black in the full-size output (the
+        # reference stores crop_window, camera.c:401-409, and never clips).
+        cxmin, cxmax, cymin, cymax = self.camera.crop_window
+        crop_px0 = max(0, int(np.ceil(W * cxmin)))
+        crop_px1 = min(W, max(crop_px0 + 1, int(np.ceil(W * cxmax))))
+        crop_py0 = max(0, int(np.ceil(H * cymin)))
+        crop_py1 = min(H, max(crop_py0 + 1, int(np.ceil(H * cymax))))
+        cropped = (crop_px0, crop_py0, crop_px1, crop_py1) != (0, 0, W, H)
+
         if self.frame_mode:
             tiles = [(0, 0, 0, 0)]
             tile_w = -(-W // 8) * 8
@@ -208,6 +230,15 @@ class Renderer:
         else:
             tiles = tile_list(W, H, self.tile_size, opt.bucket_order)
             tile_w = tile_h = self.tile_size
+            if cropped:
+                tiles = [
+                    (x0, y0, i, j)
+                    for (x0, y0, i, j) in tiles
+                    if x0 < crop_px1
+                    and x0 + tile_w > crop_px0
+                    and y0 < crop_py1
+                    and y0 + tile_h > crop_py0
+                ]
 
         kernel = self._get_kernel(tile_w, tile_h, xsamples, ysamples)
         image = np.zeros((H, W, 3), dtype=np.float32)
@@ -259,7 +290,9 @@ class Renderer:
             if done[ti]:
                 pending.append(None)
                 continue
-            tkey = jax.random.fold_in(key, ti)
+            # key folds on the tile ORIGIN (not list index) so a cropped
+            # render's sample streams match the full render's exactly
+            tkey = jax.random.fold_in(jax.random.fold_in(key, x0), y0)
             pending.append(
                 kernel(
                     self.scene, jnp.int32(x0), jnp.int32(y0), jitter, weights, tkey
@@ -276,7 +309,15 @@ class Renderer:
                 continue
             img, aux = pending[ti]
             tile_np = np.asarray(img)
-            image[y0 : y0 + th, x0 : x0 + tw] = tile_np[:th, :tw]
+            if cropped:
+                # clip the tile write to the crop rect
+                wy0, wy1 = max(y0, crop_py0), min(y0 + th, crop_py1)
+                wx0, wx1 = max(x0, crop_px0), min(x0 + tw, crop_px1)
+                image[wy0:wy1, wx0:wx1] = tile_np[
+                    wy0 - y0 : wy1 - y0, wx0 - x0 : wx1 - x0
+                ]
+            else:
+                image[y0 : y0 + th, x0 : x0 + tw] = tile_np[:th, :tw]
             self.stats.add(nrays=int(aux["nrays"]))
             ntests_total += int(aux["ntests"])
             ntrav_total += int(aux["ntrav"])
@@ -349,6 +390,9 @@ class _FrozenCamera:
             self.camera_projection,
             self.is_rh,
             self.flength,
+            self.fstop,
+            self.focal_length,
+            self.focal_distance,
             c2w_bytes,
             shape,
         ) = fields
@@ -364,6 +408,9 @@ class _FrozenCamera:
                 cam.camera_projection,
                 cam.is_rh,
                 cam.flength,
+                cam.fstop,
+                cam.focal_length,
+                cam.focal_distance,
                 c2w.tobytes(),
                 c2w.shape,
             )
@@ -376,6 +423,9 @@ class _FrozenCamera:
     generate_rays = __import__(
         "lucille_tpu.ri.camera", fromlist=["Camera"]
     ).Camera.generate_rays
+    dof_active = __import__(
+        "lucille_tpu.ri.camera", fromlist=["Camera"]
+    ).Camera.dof_active
 
     def __hash__(self):
         return hash(self._fields)

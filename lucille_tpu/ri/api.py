@@ -300,6 +300,16 @@ class RiState:
     def Clipping(self, near, far):
         pass  # ray tracer: clipping is implicit
 
+    def CropWindow(self, xmin, xmax, ymin, ymax):
+        """RiCropWindow: fractional raster window to render
+        (camera.c:401-409 stores it; the renderer clips tiles to it)."""
+        self.camera.crop_window = (
+            float(xmin),
+            float(xmax),
+            float(ymin),
+            float(ymax),
+        )
+
     def DepthOfField(self, fstop, focal_length, focal_distance):
         self.camera.fstop = float(fstop)
         self.camera.focal_length = float(focal_length)

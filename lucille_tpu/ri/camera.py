@@ -83,12 +83,33 @@ class Camera:
             np.float32(sign),
         )
 
-    def generate_rays(self, px, py):
+    @property
+    def dof_active(self) -> bool:
+        """Thin-lens sampling fires only when RiDepthOfField gave a finite
+        fstop and positive focal settings (camera.h:30-89 params; the
+        reference's own dof() hook is parked under `#if 0` with a "TODO:
+        fix this" at camera.c:284-312 — here it works)."""
+        return (
+            self.camera_projection == PERSPECTIVE
+            and math.isfinite(self.fstop)
+            and self.fstop > 0.0
+            and self.focal_length > 0.0
+            and self.focal_distance > 0.0
+        )
+
+    def generate_rays(self, px, py, lens_u=None):
         """Map raster coordinates to world-space rays, on device.
 
         px, py: float32 arrays (...,) of raster positions (pixel corner +
         subpixel jitter, as in render.c:770).  Returns (org, dir) with
         shape (..., 3); dir is normalized (render.c:779).
+
+        lens_u: optional (..., 2) uniforms for thin-lens depth of field.
+        When dof_active, each ray's origin moves to a sampled point on
+        the lens disk (radius = focal_length / (2 * fstop), camera.c:72)
+        and its direction pivots about the in-focus point at camera depth
+        focal_distance, so geometry on the focus plane stays sharp and
+        everything else blurs by the circle of confusion.
         """
         import jax.numpy as jnp
 
@@ -97,6 +118,35 @@ class Camera:
         h = jnp.float32(self.vertical_resolution)
         vx = (2.0 * px - w) / w
         vy = (2.0 * py - h) / h
+
+        if self.dof_active and lens_u is not None:
+            aperture = jnp.float32(self.focal_length / (2.0 * self.fstop))
+            # in-focus point: scale the view vector so its |z| reaches
+            # focal_distance (v_z is sign*flength, so t = fdist/flength)
+            t = jnp.float32(self.focal_distance / self.flength)
+            fx_ = vx * t
+            fy_ = vy * t
+            fz_ = jnp.broadcast_to(
+                jnp.float32(sign * self.focal_distance), vx.shape
+            )
+            # polar disk sample on the lens (area-uniform)
+            r = aperture * jnp.sqrt(lens_u[..., 0])
+            th = (2.0 * jnp.pi) * lens_u[..., 1]
+            lx = r * jnp.cos(th)
+            ly = r * jnp.sin(th)
+
+            def xform_l(x, y, z, with_trans=True):
+                ox = x * rot[0, 0] + y * rot[1, 0] + z * rot[2, 0]
+                oy = x * rot[0, 1] + y * rot[1, 1] + z * rot[2, 1]
+                oz = x * rot[0, 2] + y * rot[1, 2] + z * rot[2, 2]
+                if with_trans:
+                    ox, oy, oz = ox + trans[0], oy + trans[1], oz + trans[2]
+                return jnp.stack([ox, oy, oz], axis=-1)
+
+            org = xform_l(lx, ly, jnp.zeros_like(lx))
+            d = xform_l(fx_, fy_, fz_) - org
+            n = jnp.sqrt(jnp.sum(d * d, axis=-1, keepdims=True))
+            return org, d / jnp.maximum(n, 1e-20)
 
         # Row-vector transform spelled as explicit FMAs: a (..., 3) @ (3, 3)
         # matmul would be routed to the MXU, whose default f32 precision is

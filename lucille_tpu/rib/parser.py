@@ -221,6 +221,8 @@ def _dispatch(state, name, args, line, searchpaths, depth):
         s.FrameAspectRatio(_f(args[0]))
     elif name == "ScreenWindow":
         s.ScreenWindow(_f(args[0]), _f(args[1]), _f(args[2]), _f(args[3]))
+    elif name == "CropWindow":
+        s.CropWindow(_f(args[0]), _f(args[1]), _f(args[2]), _f(args[3]))
     elif name == "Clipping":
         s.Clipping(_f(args[0]), _f(args[1]))
     elif name == "DepthOfField":

@@ -144,10 +144,13 @@ class ShaderContext:
         """trace(P, dir): recursive radiance ray (shader.c:895-925).
 
         Bounded by trace_depth_left; the integrator wires trace_fn to its
-        own bounce evaluation."""
+        own bounce evaluation.  The origin is offset ALONG THE TRACED
+        DIRECTION (shader.c:918-921), not the normal — refraction rays
+        legitimately cross the surface, so a normal offset would pin them
+        on the wrong side."""
         if self.trace_fn is None or self.trace_depth_left <= 0:
             return jnp.zeros_like(sg.P)
-        return self.trace_fn(sg.P + sg.N * self.scene.eps, dirn)
+        return self.trace_fn(sg.P + dirn * self.scene.eps, dirn)
 
 
 ShaderFn = Callable  # (sg, params, ctx) -> (Ci, Oi)

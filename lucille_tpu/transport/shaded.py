@@ -46,7 +46,32 @@ def shaded_radiance(
     shader_table: list of (shader_fn, params) rows indexed by geom id —
     built by the renderer from each geometry's Surface binding; None
     falls back to matte for everything.
+
+    ``trace()`` (shader.c:895-925) is live: each wavefront's
+    ShaderContext gets a trace_fn that recursively re-shades a secondary
+    wavefront at depth-1.  The recursion is Python-trace-time and LAZY —
+    it unrolls into the XLA graph only when a bound shader actually
+    calls trace(), so matte scenes pay nothing.  max_depth bounds the
+    recursion exactly like the reference's MAX_RAY_DEPTH guard inside
+    trace() itself.
     """
+    if shader_table is None:
+        shader_table = [(get_shader("matte")[0], {})] * scene.n_geoms
+    # the reference's trace() itself refuses past ray_depth 3
+    # (shader.c:911-914) regardless of max_ray_depth; matching that also
+    # bounds the masked-dense unrolling (whitted.sl calls trace twice per
+    # level) to at most 2^3 secondary wavefronts
+    depth = min(max_depth, 3)
+    return _shade_wavefront(
+        scene, lights, org, dirn, key, shader_table, depth, bgcolor,
+        textures,
+    )
+
+
+def _shade_wavefront(
+    scene, lights, org, dirn, key, shader_table, depth, bgcolor, textures
+):
+    """One wavefront of shader evaluation; trace() recurses here."""
     B = org.shape[0]
     res = closest_hit(scene, org, dirn)
     hit = res["hit"]
@@ -70,10 +95,23 @@ def shaded_radiance(
         dPdu=b0,
         dPdv=b1,
     )
-    ctx = ShaderContext(scene=scene, key=key, lights=lights, textures=textures)
 
-    if shader_table is None:
-        shader_table = [(get_shader("matte")[0], {})] * scene.n_geoms
+    def trace_fn(torg, tdirn):
+        # secondary rays re-enter the same masked-dense shade at depth-1;
+        # rays that escape pick up the background/environment like the
+        # reference's trace() miss path
+        sub, _ = _shade_wavefront(
+            scene, lights, torg, tdirn,
+            jax.random.fold_in(key, depth), shader_table, depth - 1,
+            bgcolor, textures,
+        )
+        return sub
+
+    ctx = ShaderContext(
+        scene=scene, key=key, lights=lights, textures=textures,
+        trace_depth_left=depth,
+        trace_fn=trace_fn if depth > 0 else None,
+    )
 
     # deduplicate: evaluate each distinct shader once over the wavefront
     ci = jnp.zeros((B, 3), jnp.float32)

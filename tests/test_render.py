@@ -206,3 +206,78 @@ class TestCheckpointResume:
             checkpoint=ckpt, recover=True
         )
         assert float(img.max()) > 0.0
+
+
+class TestCropWindow:
+    def test_crop_matches_full_render_subwindow(self):
+        """CropWindow pixels are bit-identical to the full render's same
+        pixels; everything outside stays black (VERDICT r1 gap #6)."""
+        from lucille_tpu.render.renderer import Renderer
+        from lucille_tpu.ri.api import RiState
+        from lucille_tpu.rib.parser import parse_rib
+
+        def build(crop):
+            s = RiState()
+            parse_rib(
+                'Projection "perspective" "fov" [45]\n'
+                + (f"CropWindow {crop}\n" if crop else "")
+                + "WorldBegin\n"
+                'LightSource "domelight" 1\n'
+                'Polygon "P" [ 2 2 4  2 -2 4  -2 -2 4  -2 2 4 ]\n'
+                "WorldEnd\n",
+                s,
+            )
+            s.Format(64, 48)
+            s.options.render_method = "ao"
+            s.options.gather_nsamples = 4
+            return s
+
+        full = Renderer(build(None).scene, tile_size=16).render_frame()
+        s = build("0.25 0.75 0.25 0.75")
+        assert s.camera.crop_window == (0.25, 0.75, 0.25, 0.75)
+        crop = Renderer(s.scene, tile_size=16).render_frame()
+        assert crop.shape == full.shape
+        x0, x1 = 16, 48  # ceil(64*0.25), ceil(64*0.75)
+        y0, y1 = 12, 36
+        np.testing.assert_array_equal(crop[y0:y1, x0:x1], full[y0:y1, x0:x1])
+        outside = crop.copy()
+        outside[y0:y1, x0:x1] = 0.0
+        assert (outside == 0.0).all()
+
+
+class TestDofRender:
+    def test_dof_blurs_offfocus_edge(self):
+        """A quad edge at the focal distance stays sharp; pulling focus
+        far behind it blurs the same edge (thin-lens DoF end-to-end)."""
+        from lucille_tpu.render.renderer import Renderer
+        from lucille_tpu.ri.api import RiState
+        from lucille_tpu.rib.parser import parse_rib
+
+        def render(fdist):
+            s = RiState()
+            # red quad against the default white dome fallback
+            # (render.c:516-536): the GREEN channel has a clean 1 -> 0
+            # edge at the quad's right border
+            parse_rib(
+                'Projection "perspective" "fov" [45]\n'
+                f"DepthOfField 1.0 0.8 {fdist}\n"
+                "WorldBegin\n"
+                'Surface "constant"\nColor [1 0 0]\n'
+                'Polygon "P" [ 0 2 4  0 -2 4  -3 -2 4  -3 2 4 ]\n'
+                "WorldEnd\n",
+                s,
+            )
+            s.Format(64, 48)
+            s.options.render_method = "shader"
+            return Renderer(s.scene, tile_size=64).render_frame()
+
+        def edge_width(img):
+            # scan the middle row across the quad's right edge: count
+            # pixels with intermediate coverage (0.05 < v < 0.95)
+            row = img[24, :, 1]
+            return int(((row > 0.05) & (row < 0.95)).sum())
+
+        sharp = render(4.0)  # quad plane IS the focal plane
+        blurred = render(40.0)  # focus far behind the quad
+        assert edge_width(sharp) <= 2
+        assert edge_width(blurred) >= edge_width(sharp) + 2

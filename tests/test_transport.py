@@ -263,3 +263,110 @@ class TestShadedIntegrator:
         right_px = img[h // 2, 3 * w // 4]
         np.testing.assert_allclose(left_px, [1, 0, 0], atol=1e-5)
         np.testing.assert_allclose(right_px, [0, 0, 1], atol=1e-5)
+
+    def test_trace_builtin_mirror_reflects_plane(self):
+        """Surface "mirror" through the SHADER method renders non-black:
+        ctx.trace() recursively shades the reflected wavefront
+        (shader.c:895-925 parity — VERDICT r1 gap #4)."""
+        from lucille_tpu.transport.shaded import (
+            build_shader_table,
+            shaded_radiance,
+        )
+
+        # a SMALL tilted-view mirror: the reflected rays land on ground
+        # OUTSIDE the mirror's dome-shadow footprint (a big overhead
+        # mirror correctly reflects its own pitch-black shadow)
+        s, scene, lights = _plane_scene(
+            lights_rib='LightSource "domelight" 1 "intensity" [1.0]\n',
+            extra_rib=(
+                "AttributeBegin\n"
+                'Surface "mirror" "Kr" [1.0]\n'
+                'PointsPolygons [4] [0 1 2 3] "P" '
+                '[-4 4 -4  2 4 -4  2 4 4  -4 4 4]\n'
+                "AttributeEnd\n"
+            ),
+        )
+        table = build_shader_table(s.scene)
+        B = 32
+        # rays angled up at the mirror: hit near x in [0.5, 1.5], the
+        # reflection continues to ground x in [2.5, 3.5] — outside the
+        # mirror's x-extent, where the dome still lights the plane
+        org = jnp.stack(
+            [jnp.linspace(-0.5, 0.5, B), jnp.full((B,), 2.0), jnp.zeros((B,))],
+            axis=-1,
+        )
+        up = jnp.broadcast_to(jnp.asarray([0.5, 1.0, 0.0]), (B, 3))
+        dirn = up / jnp.linalg.norm(up, axis=-1, keepdims=True)
+        r, aux = shaded_radiance(
+            scene, lights, org, dirn, jax.random.key(3), shader_table=table
+        )
+        vals = np.asarray(r)
+        hits = np.asarray(aux["hit"])
+        assert hits.all()
+        # mirror lanes reflect the dome-lit plane: clearly non-black
+        assert np.isfinite(vals).all()
+        assert vals[hits].mean() > 0.05
+
+    def test_trace_depth_terminates(self):
+        """Two parallel mirrors: recursion is bounded (shader.c:911) and
+        the result stays finite instead of diverging."""
+        from lucille_tpu.transport.shaded import (
+            build_shader_table,
+            shaded_radiance,
+        )
+
+        s, scene, lights = _plane_scene(
+            lights_rib='LightSource "domelight" 1 "intensity" [1.0]\n',
+            extra_rib=(
+                "AttributeBegin\n"
+                'Surface "mirror" "Kr" [1.0]\n'
+                'PointsPolygons [4] [0 1 2 3] "P" '
+                '[-20 4 -20  20 4 -20  20 4 20  -20 4 20]\n'
+                'PointsPolygons [4] [0 3 2 1] "P" '
+                '[-20 1 -20  20 1 -20  20 1 20  -20 1 20]\n'
+                "AttributeEnd\n"
+            ),
+        )
+        table = build_shader_table(s.scene)
+        org, dirn = _down_rays(16, height=3.0)
+        r, _ = shaded_radiance(
+            scene, lights, org, dirn, jax.random.key(4), shader_table=table
+        )
+        assert np.isfinite(np.asarray(r)).all()
+
+    def test_whitted_sl_from_corpus_renders_nonblack(self, tmp_path):
+        """The bundled whitted.sl-equivalent RSL source (trace through the
+        SL compiler) produces non-black pixels via --method shader."""
+        from lucille_tpu.render.renderer import Renderer
+        from lucille_tpu.ri.api import RiState
+        from lucille_tpu.rib.parser import parse_rib
+
+        # whitted.sl's structure (reference shaders/whitted.sl): ambient +
+        # illuminance + trace(P, reflect(I, Nn)) + refraction trace
+        (tmp_path / "whitted.sl").write_text(
+            "surface whitted(float eta = 1.5; float Kd = .8; float Kr = .8;"
+            "  float Kt = .2; float Ks = .2; float Kss = 2) {\n"
+            "  normal Nn = faceforward(normalize(N), I);\n"
+            "  Ci = Kd * ambient();\n"
+            "  illuminance(P, Nn, PI/2) { Ci += Kd * Cl * (L . Nn); }\n"
+            "  Ci += Ks * trace(P, reflect(I, Nn));\n"
+            "  vector T = refract(I, Nn, (N.I) < 0 ? eta : 1/eta);\n"
+            "  if (length(T) != 0.0) Ci += Kt * trace(P, T);\n"
+            "}\n"
+        )
+        s = RiState()
+        parse_rib(
+            'Projection "perspective" "fov" [45]\n'
+            f'Option "searchpath" "shader" ["{tmp_path}"]\n'
+            'Option "renderer" "method" ["shader"]\n'
+            "WorldBegin\n"
+            'LightSource "domelight" 1 "intensity" [1.0]\n'
+            'Surface "whitted"\n'
+            'Polygon "P" [ 2 2 4  2 -2 4  -2 -2 4  -2 2 4 ]\n'
+            "WorldEnd\n",
+            s,
+        )
+        s.Format(32, 24)
+        img = Renderer(s.scene, tile_size=32).render_frame()
+        assert np.isfinite(img).all()
+        assert img.mean() > 0.01
