@@ -10,15 +10,16 @@ section 2.4).  Two interchangeable intersectors, mirroring the reference's
   choice for small scenes on TPU and the correctness oracle for the BVH.
   (The reference's grid is a stub — ugrid.c:376-385 — so BVH+bruteforce is
   a strictly more functional pairing.)
-- ``bvh``: host binned-SAH build (bvh.c:1329 semantics) flattened to a
-  skip-link (DFS escape-index) layout; traversal is stackless — per-ray
-  state is a single node index — which maps onto `lax.while_loop` over
-  whole ray wavefronts with no per-lane stack scatter.
+- ``pbvh``: host binned-SAH build (bvh.c:1329 semantics) flattened to a
+  skip-link (DFS escape-index) layout over 128-triangle tiles; traversal
+  is a Pallas kernel — scalar while-loop over nodes in SMEM, dense
+  (tile, lane) VPU tests at leaves (accel/pallas_bvh.py).  Per-ray
+  gathered traversal survives only as the visualizer's diagnostics path
+  (accel/traverse.py).
 """
 
 from lucille_tpu.accel.bvh import BVH, build_bvh
 from lucille_tpu.accel.bruteforce import brute_any_hit, brute_closest_hit
-from lucille_tpu.accel.traverse import bvh_any_hit, bvh_closest_hit
 from lucille_tpu.accel.dispatch import any_hit, closest_hit
 
 __all__ = [
@@ -26,8 +27,6 @@ __all__ = [
     "build_bvh",
     "brute_closest_hit",
     "brute_any_hit",
-    "bvh_closest_hit",
-    "bvh_any_hit",
     "closest_hit",
     "any_hit",
 ]

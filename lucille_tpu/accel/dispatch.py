@@ -7,7 +7,7 @@ metadata, so jit specializes on it) picks the intersector.
 
 from __future__ import annotations
 
-from lucille_tpu.accel import bruteforce, mxu, traverse
+from lucille_tpu.accel import bruteforce, mxu
 
 
 def _pallas_ok(scene, B, tmax, tmin) -> bool:
@@ -20,8 +20,12 @@ def _pallas_ok(scene, B, tmax, tmin) -> bool:
 
 
 def closest_hit(scene, org, dirn, tmax=None, tmin: float = 0.0):
-    if scene.accel == "bvh" and scene.n_nodes > 0:
-        return traverse.bvh_closest_hit(scene, org, dirn, tmax=tmax, tmin=tmin)
+    if scene.accel == "pbvh" and scene.n_nodes > 0:
+        from lucille_tpu.accel.pallas_bvh import pallas_bvh_closest_hit
+
+        if tmin == 0.0:
+            return pallas_bvh_closest_hit(scene, org, dirn, tmax=tmax)
+        return mxu.mxu_closest_hit(scene, org, dirn, tmax=tmax, tmin=tmin)
     if scene.accel == "ugrid" and scene.grid_res > 0:
         from lucille_tpu.accel.ugrid import ugrid_closest_hit
 
@@ -38,8 +42,12 @@ def closest_hit(scene, org, dirn, tmax=None, tmin: float = 0.0):
 
 
 def any_hit(scene, org, dirn, tmax=None, tmin: float = 0.0):
-    if scene.accel == "bvh" and scene.n_nodes > 0:
-        return traverse.bvh_any_hit(scene, org, dirn, tmax=tmax, tmin=tmin)
+    if scene.accel == "pbvh" and scene.n_nodes > 0:
+        from lucille_tpu.accel.pallas_bvh import pallas_bvh_any_hit
+
+        if tmin == 0.0:
+            return pallas_bvh_any_hit(scene, org, dirn, tmax=tmax)
+        return mxu.mxu_any_hit(scene, org, dirn, tmax=tmax, tmin=tmin)
     if scene.accel == "ugrid" and scene.grid_res > 0:
         from lucille_tpu.accel.ugrid import ugrid_any_hit
 

@@ -1,0 +1,686 @@
+"""Pallas TPU kernels: skip-link BVH traversal over triangle tiles.
+
+The production accelerator for large scenes — the TPU-shaped counterpart
+of the reference's stack-based per-ray BVH walk (bvh.c:1093-1190).  A
+per-LANE gathered traversal is the wrong shape for a vector machine
+(measured ~8 Krays/s in round 1); this design keeps every vector op
+dense and moves ALL data-dependent control flow to scalars:
+
+- **Hierarchy over tiles, not triangles.**  The host SAH build
+  (accel/bvh.py, same binned algorithm as bvh.c:1329) uses leaves of
+  one-or-more 128-triangle tiles; leaf ranges are padded to tile
+  boundaries so every leaf visit is an aligned (TC, RAY_BLOCK) VPU
+  tile test — the same dense test the megakernels use.
+- **One traversal per ray BLOCK (and per stratum for AO), not per
+  ray.**  The skip-link walk is a scalar `while_loop`: node bboxes live
+  in SMEM, the slab test is a ~30-op (1, RAY_BLOCK) row computation
+  over all 256 lanes at once, and `any(reach)` decides descend-vs-skip.
+  Wavefronts are pre-sorted by (direction octant, origin Morton cell)
+  so a block's rays agree about what to visit — the beam-tracing
+  amortization (bvh.c:545-668) reborn as sorted wavefronts.
+- **No stack**: on hit advance to node+1, on miss jump to skip[node]
+  (DFS order, accel/bvh.py).  When every lane is already occluded the
+  root test fails and traversal exits in one step.
+
+SMEM budget: node arrays cost 36 B/node (6 f32 bbox + 3 i32 meta); the
+host build adapts its leaf size to stay under NODE_BUDGET nodes
+(~220 KB, measured safe: 512 KB SMEM scratch compiles, 1 MB does not).
+
+Triangles stay VMEM-resident up to MAX_TRIS_VMEM; bigger scenes keep
+them in HBM and leaf visits DMA (16, TC) tiles through a double-buffered
+VMEM window (pallas guide "Patterns: Double Buffering").
+
+Interpret mode runs the identical kernels on CPU for the test suite.
+"""
+
+from __future__ import annotations
+
+from functools import partial
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from lucille_tpu.accel.bruteforce import DET_EPS
+from lucille_tpu.accel.pallas_isect import RAY_BLOCK, TC, _load_tile_cols
+
+_VMEM = pltpu.VMEM
+
+# node-array SMEM budget: 8192 nodes x 36 B = 288 KB, safely under the
+# measured 512 KB scratch ceiling with room for the ray rows
+NODE_BUDGET = 8192
+
+# VMEM-resident triangle matrix cap: (16, N) f32 = 64 B/tri; 131072 tris
+# = 8.4 MB, leaving ~half of VMEM for ray blocks + scratch
+MAX_TRIS_VMEM = 131072
+
+# R2 additive-recurrence constants for per-stratum Cranley-Patterson
+# rotation (same scheme as pallas_ao.py — qmc.c:380-428 flavor)
+_R2_A1 = 0.7548776662466927
+_R2_A2 = 0.5698402909980532
+
+
+# ---------------------------------------------------------------------------
+# host build: triangle BVH -> tile-aligned leaves + SMEM node arrays
+# ---------------------------------------------------------------------------
+
+
+def build_tile_bvh(v0, v1, v2, node_budget: int = NODE_BUDGET):
+    """SAH BVH with tile-aligned leaves.
+
+    Returns (src, nbox, nmeta, n_nodes):
+      src   : (n_leafpad,) int64 — source triangle id per padded slot, or
+              -1 for leaf-padding slots (callers scatter their per-tri
+              arrays through it; pads become degenerate zero triangles);
+      nbox  : (6, M) f32 — node bbox rows [min xyz | max xyz];
+      nmeta : (3, M) i32 — rows [skip, first_tile, n_tiles] (n_tiles = 0
+              marks an inner node);
+      n_nodes: M.
+
+    Leaf size doubles until the node count fits the SMEM budget
+    (36 B/node), so a 1M-triangle scene lands around 512-triangle leaves.
+    """
+    from lucille_tpu.accel.bvh import build_bvh
+
+    n = len(v0)
+    leaf = TC
+    while True:
+        bvh = build_bvh(v0, v1, v2, leaf_size=leaf)
+        if len(bvh.skip) <= node_budget or leaf >= n:
+            break
+        leaf *= 2
+
+    m = len(bvh.skip)
+    is_leaf = bvh.count > 0
+    leaf_ids = np.flatnonzero(is_leaf)
+    counts = bvh.count[leaf_ids].astype(np.int64)
+    tiles_per_leaf = -(-counts // TC)
+    first_tile = np.zeros(len(leaf_ids), dtype=np.int64)
+    np.cumsum(tiles_per_leaf[:-1], out=first_tile[1:])
+    n_tiles = int(tiles_per_leaf.sum()) if len(leaf_ids) else 1
+    n_leafpad = n_tiles * TC
+
+    # scatter each leaf's (contiguous, DFS-ordered) triangle range into
+    # its padded tile slots
+    src = np.full(n_leafpad, -1, dtype=np.int64)
+    for li, nid in enumerate(leaf_ids):
+        f = bvh.first[nid]
+        c = counts[li]
+        dst = first_tile[li] * TC
+        src[dst : dst + c] = bvh.order[f : f + c]
+
+    nbox = np.zeros((6, m), dtype=np.float32)
+    nbox[0:3] = bvh.bbmin.T
+    nbox[3:6] = bvh.bbmax.T
+    nmeta = np.zeros((3, m), dtype=np.int32)
+    nmeta[0] = bvh.skip
+    fmap = np.zeros(m, dtype=np.int32)
+    cmap = np.zeros(m, dtype=np.int32)
+    fmap[leaf_ids] = first_tile
+    cmap[leaf_ids] = tiles_per_leaf
+    nmeta[1] = fmap
+    nmeta[2] = cmap
+    return src, nbox, nmeta, m
+
+
+# ---------------------------------------------------------------------------
+# kernel helpers
+# ---------------------------------------------------------------------------
+
+
+def _slab(node, nbox_ref, ox, oy, oz, ivx, ivy, ivz):
+    """Block-vs-node AABB slab test: (1, RB) tn/tf rows from SMEM bbox
+    scalars (test_ray_aabb, bvh.c:870, vectorized over lanes)."""
+    t0x = (nbox_ref[0, node] - ox) * ivx
+    t1x = (nbox_ref[3, node] - ox) * ivx
+    t0y = (nbox_ref[1, node] - oy) * ivy
+    t1y = (nbox_ref[4, node] - oy) * ivy
+    t0z = (nbox_ref[2, node] - oz) * ivz
+    t1z = (nbox_ref[5, node] - oz) * ivz
+    tn = jnp.maximum(
+        jnp.maximum(jnp.minimum(t0x, t1x), jnp.minimum(t0y, t1y)),
+        jnp.minimum(t0z, t1z),
+    )
+    tf = jnp.minimum(
+        jnp.minimum(jnp.maximum(t0x, t1x), jnp.maximum(t0y, t1y)),
+        jnp.maximum(t0z, t1z),
+    )
+    return tn, tf
+
+
+def _bounded_inv(d):
+    return 1.0 / jnp.where(jnp.abs(d) > 1e-20, d, 1e-20)
+
+
+# ---------------------------------------------------------------------------
+# closest hit
+# ---------------------------------------------------------------------------
+
+
+def _bvh_closest_kernel(
+    rays_ref,
+    nbox_ref,
+    nmeta_ref,
+    tris_ref,
+    t_ref,
+    u_ref,
+    v_ref,
+    tri_ref,
+    stat_ref,
+    *,
+    n_nodes,
+):
+    ox = rays_ref[0:1, :]
+    oy = rays_ref[1:2, :]
+    oz = rays_ref[2:3, :]
+    dx = rays_ref[3:4, :]
+    dy = rays_ref[4:5, :]
+    dz = rays_ref[5:6, :]
+    tmax0 = rays_ref[6:7, :]
+    ivx = _bounded_inv(dx)
+    ivy = _bounded_inv(dy)
+    ivz = _bounded_inv(dz)
+
+    t_ref[:, :] = tmax0
+    u_ref[:, :] = jnp.zeros(u_ref.shape, jnp.float32)
+    v_ref[:, :] = jnp.zeros(v_ref.shape, jnp.float32)
+    tri_ref[:, :] = jnp.full(tri_ref.shape, -1, jnp.int32)
+
+    def mt_tile(k, first):
+        """MT closest-hit update for tile (first + k) — the same fused
+        test as pallas_isect._isect_kernel, against the running t."""
+        base = (first + k) * TC
+        (v0x, v0y, v0z, e1x, e1y, e1z, e2x, e2y, e2z) = _load_tile_cols(
+            tris_ref, base, range(9)
+        )
+        t_best = t_ref[0:1, :]
+        px = dy * e2z - dz * e2y
+        py = dz * e2x - dx * e2z
+        pz = dx * e2y - dy * e2x
+        a = e1x * px + e1y * py + e1z * pz
+        valid = jnp.abs(a) > DET_EPS
+        inva = jnp.where(valid, 1.0 / jnp.where(valid, a, 1.0), 0.0)
+        sx = ox - v0x
+        sy = oy - v0y
+        sz = oz - v0z
+        qx = sy * e1z - sz * e1y
+        qy = sz * e1x - sx * e1z
+        qz = sx * e1y - sy * e1x
+        u = (sx * px + sy * py + sz * pz) * inva
+        v = (qx * dx + qy * dy + qz * dz) * inva
+        t = (e2x * qx + e2y * qy + e2z * qz) * inva
+        hit = (
+            valid
+            & (u >= 0.0)
+            & (u <= 1.0)
+            & (v >= 0.0)
+            & (u + v <= 1.0)
+            & (t > 0.0)
+            & (t < t_best)
+        )
+        t_m = jnp.where(hit, t, jnp.inf)
+        tc = jnp.min(t_m, axis=0, keepdims=True)
+        row = jax.lax.broadcasted_iota(jnp.int32, t_m.shape, 0)
+        is_min = t_m <= tc
+        j = jnp.min(
+            jnp.where(is_min, row, t_m.shape[0]), axis=0, keepdims=True
+        )
+        sel = row == j
+        u_sel = jnp.sum(jnp.where(sel, u, 0.0), axis=0, keepdims=True)
+        v_sel = jnp.sum(jnp.where(sel, v, 0.0), axis=0, keepdims=True)
+        better = tc < t_best
+        t_ref[:, :] = jnp.where(better, tc, t_best)
+        u_ref[:, :] = jnp.where(better, u_sel, u_ref[0:1, :])
+        v_ref[:, :] = jnp.where(better, v_sel, v_ref[0:1, :])
+        tri_ref[:, :] = jnp.where(better, base + j, tri_ref[0:1, :])
+        return first
+
+    def tcond(c):
+        return c[0] < n_nodes
+
+    def tbody(c):
+        node, nvis, ntile = c
+        tn, tf = _slab(node, nbox_ref, ox, oy, oz, ivx, ivy, ivz)
+        reach = (tn <= tf) & (tf > 0.0) & (tn < t_ref[0:1, :])
+        live = jnp.any(reach)
+        ltiles = nmeta_ref[2, node]
+        leaf = ltiles > 0
+
+        @pl.when(live & leaf)
+        def _leaf():
+            jax.lax.fori_loop(0, ltiles, mt_tile, nmeta_ref[1, node])
+
+        nxt = jnp.where(live & jnp.logical_not(leaf), node + 1,
+                        nmeta_ref[0, node])
+        return (
+            nxt,
+            nvis + 1,
+            ntile + jnp.where(live & leaf, ltiles, 0),
+        )
+
+    _, nvis, ntile = jax.lax.while_loop(
+        tcond, tbody, (jnp.int32(0), jnp.int32(0), jnp.int32(0))
+    )
+    stat_ref[0:1, :] = jnp.full(stat_ref[0:1, :].shape, nvis, jnp.int32)
+    stat_ref[1:2, :] = jnp.full(stat_ref[1:2, :].shape, ntile, jnp.int32)
+
+
+def pallas_bvh_closest_hit(scene, org, dirn, tmax=None,
+                           interpret: bool | None = None):
+    if interpret is None:
+        interpret = jax.default_backend() == "cpu"
+    return _pallas_bvh_closest_hit(scene, org, dirn, tmax, interpret)
+
+
+def _node_arrays(scene):
+    nbox = jnp.concatenate(
+        [scene.node_bbmin.T, scene.node_bbmax.T], axis=0
+    ).astype(jnp.float32)
+    nmeta = jnp.stack(
+        [scene.node_skip, scene.node_first, scene.node_count]
+    ).astype(jnp.int32)
+    return nbox, nmeta
+
+
+def _pad_rays(org, dirn, tmax):
+    """(8, Bpad) ray rows; pad lanes carry zero direction + tmax 0, which
+    fails both the slab test (tf > 0) and the MT window (t < tmax), so
+    they are inert."""
+    B = org.shape[0]
+    Bpad = -(-B // RAY_BLOCK) * RAY_BLOCK
+    rays = jnp.zeros((8, Bpad), jnp.float32)
+    rays = rays.at[0:3, :B].set(org.T)
+    rays = rays.at[3:6, :B].set(dirn.T)
+    trow = (
+        jnp.full((B,), jnp.inf, jnp.float32)
+        if tmax is None
+        else jnp.broadcast_to(jnp.asarray(tmax, jnp.float32), (B,))
+    )
+    rays = rays.at[6, :B].set(trow)
+    return rays, B, Bpad
+
+
+@partial(jax.jit, static_argnames=("interpret",))
+def _pallas_bvh_closest_hit(scene, org, dirn, tmax=None, interpret=False):
+    from lucille_tpu.accel.pallas_isect import _pack
+
+    tris, npad = _pack(scene)
+    nbox, nmeta = _node_arrays(scene)
+    n_nodes = scene.n_nodes
+    rays, B_real, B = _pad_rays(org, dirn, tmax)
+
+    def spec(shape, index_map):
+        return pl.BlockSpec(shape, index_map, memory_space=_VMEM)
+
+    smem = pl.BlockSpec(memory_space=pltpu.SMEM)
+    out_spec = spec((1, RAY_BLOCK), lambda i: (0, i))
+    t, u, v, tri, stat = pl.pallas_call(
+        partial(_bvh_closest_kernel, n_nodes=n_nodes),
+        grid=(B // RAY_BLOCK,),
+        in_specs=[
+            spec((8, RAY_BLOCK), lambda i: (0, i)),
+            smem,
+            smem,
+            spec((16, npad), lambda i: (0, 0)),
+        ],
+        out_specs=[out_spec] * 4 + [spec((2, RAY_BLOCK), lambda i: (0, i))],
+        out_shape=[
+            jax.ShapeDtypeStruct((1, B), jnp.float32),
+            jax.ShapeDtypeStruct((1, B), jnp.float32),
+            jax.ShapeDtypeStruct((1, B), jnp.float32),
+            jax.ShapeDtypeStruct((1, B), jnp.int32),
+            jax.ShapeDtypeStruct((2, B), jnp.int32),
+        ],
+        interpret=interpret,
+    )(rays, nbox, nmeta, tris)
+
+    tri = tri[0, :B_real]
+    return {
+        "t": t[0, :B_real],
+        "u": u[0, :B_real],
+        "v": v[0, :B_real],
+        "tri": jnp.minimum(jnp.maximum(tri, 0), scene.tri_v0.shape[0] - 1),
+        "hit": tri >= 0,
+        "ntests": jnp.sum(stat[1, ::RAY_BLOCK].astype(jnp.float32))
+        * (TC * RAY_BLOCK),
+        "ntrav": jnp.sum(stat[0, ::RAY_BLOCK].astype(jnp.float32)),
+    }
+
+
+# ---------------------------------------------------------------------------
+# any hit (occlusion)
+# ---------------------------------------------------------------------------
+
+
+def _bvh_anyhit_kernel(
+    rays_ref, nbox_ref, nmeta_ref, tris_ref, occ_ref, *, n_nodes
+):
+    ox = rays_ref[0:1, :]
+    oy = rays_ref[1:2, :]
+    oz = rays_ref[2:3, :]
+    dx = rays_ref[3:4, :]
+    dy = rays_ref[4:5, :]
+    dz = rays_ref[5:6, :]
+    tmax = rays_ref[6:7, :]
+    ivx = _bounded_inv(dx)
+    ivy = _bounded_inv(dy)
+    ivz = _bounded_inv(dz)
+
+    occ_ref[:, :] = jnp.zeros(occ_ref.shape, jnp.float32)
+
+    def mt_tile(k, first):
+        base = (first + k) * TC
+        (v0x, v0y, v0z, e1x, e1y, e1z, e2x, e2y, e2z) = _load_tile_cols(
+            tris_ref, base, range(9)
+        )
+        px = dy * e2z - dz * e2y
+        py = dz * e2x - dx * e2z
+        pz = dx * e2y - dy * e2x
+        a = e1x * px + e1y * py + e1z * pz
+        valid = jnp.abs(a) > DET_EPS
+        inva = jnp.where(valid, 1.0 / jnp.where(valid, a, 1.0), 0.0)
+        sx = ox - v0x
+        sy = oy - v0y
+        sz = oz - v0z
+        qx = sy * e1z - sz * e1y
+        qy = sz * e1x - sx * e1z
+        qz = sx * e1y - sy * e1x
+        u = (sx * px + sy * py + sz * pz) * inva
+        v = (qx * dx + qy * dy + qz * dz) * inva
+        t = (e2x * qx + e2y * qy + e2z * qz) * inva
+        hit = (
+            valid
+            & (u >= 0.0)
+            & (u <= 1.0)
+            & (v >= 0.0)
+            & (u + v <= 1.0)
+            & (t > 0.0)
+            & (t < tmax)
+        )
+        any1 = jnp.any(hit, axis=0, keepdims=True)
+        occ_ref[:, :] = jnp.maximum(occ_ref[0:1, :], any1.astype(jnp.float32))
+        return first
+
+    def tcond(node):
+        return node < n_nodes
+
+    def tbody(node):
+        tn, tf = _slab(node, nbox_ref, ox, oy, oz, ivx, ivy, ivz)
+        reach = (
+            (tn <= tf) & (tf > 0.0) & (tn < tmax) & (occ_ref[0:1, :] < 0.5)
+        )
+        live = jnp.any(reach)
+        ltiles = nmeta_ref[2, node]
+        leaf = ltiles > 0
+
+        @pl.when(live & leaf)
+        def _leaf():
+            jax.lax.fori_loop(0, ltiles, mt_tile, nmeta_ref[1, node])
+
+        return jnp.where(live & jnp.logical_not(leaf), node + 1,
+                         nmeta_ref[0, node])
+
+    jax.lax.while_loop(tcond, tbody, jnp.int32(0))
+
+
+def pallas_bvh_any_hit(scene, org, dirn, tmax=None,
+                       interpret: bool | None = None):
+    if interpret is None:
+        interpret = jax.default_backend() == "cpu"
+    return _pallas_bvh_any_hit(scene, org, dirn, tmax, interpret)
+
+
+@partial(jax.jit, static_argnames=("interpret",))
+def _pallas_bvh_any_hit(scene, org, dirn, tmax=None, interpret=False):
+    from lucille_tpu.accel.pallas_isect import _pack
+
+    tris, npad = _pack(scene)
+    nbox, nmeta = _node_arrays(scene)
+    rays, B_real, B = _pad_rays(org, dirn, tmax)
+
+    def spec(shape, index_map):
+        return pl.BlockSpec(shape, index_map, memory_space=_VMEM)
+
+    smem = pl.BlockSpec(memory_space=pltpu.SMEM)
+    occ = pl.pallas_call(
+        partial(_bvh_anyhit_kernel, n_nodes=scene.n_nodes),
+        grid=(B // RAY_BLOCK,),
+        in_specs=[
+            spec((8, RAY_BLOCK), lambda i: (0, i)),
+            smem,
+            smem,
+            spec((16, npad), lambda i: (0, 0)),
+        ],
+        out_specs=spec((1, RAY_BLOCK), lambda i: (0, i)),
+        out_shape=jax.ShapeDtypeStruct((1, B), jnp.float32),
+        interpret=interpret,
+    )(rays, nbox, nmeta, tris)
+    return occ[0, :B_real] > 0.5
+
+
+# ---------------------------------------------------------------------------
+# fused AO gather: strata loop outer, per-stratum BVH traversal inner
+# ---------------------------------------------------------------------------
+
+
+def _bvh_ao_kernel(
+    nact_ref,
+    rays_ref,
+    jit_ref,
+    nbox_ref,
+    nmeta_ref,
+    tris_ref,
+    occ_ref,
+    cur_ref,
+    *,
+    n_nodes,
+    ntheta,
+    nphi,
+):
+    """Occlusion counts for one compacted ray block.
+
+    Per stratum: generate the stratified hemisphere direction for every
+    lane (CP-rotated R2 jitter, as pallas_ao.py), then walk the tile BVH
+    once for the whole block.  A lane occluded at this stratum drops out
+    of the slab test; when every live lane is occluded the root test
+    fails and the walk exits in one step.
+    """
+    nsamples = ntheta * nphi
+    rb = rays_ref.shape[1]
+
+    occ_ref[:, :] = jnp.zeros((1, rb), jnp.float32)
+    active = pl.program_id(0) * rb < nact_ref[0]
+
+    @pl.when(active)
+    def _body():
+        ox = rays_ref[0:1, :]
+        oy = rays_ref[1:2, :]
+        oz = rays_ref[2:3, :]
+        b0x = rays_ref[3:4, :]
+        b0y = rays_ref[4:5, :]
+        b0z = rays_ref[5:6, :]
+        b1x = rays_ref[6:7, :]
+        b1y = rays_ref[7:8, :]
+        b1z = rays_ref[8:9, :]
+        b2x = rays_ref[9:10, :]
+        b2y = rays_ref[10:11, :]
+        b2z = rays_ref[11:12, :]
+        hit_row = rays_ref[12:13, :]
+        u0_lane = jit_ref[0:1, :]
+        u1_lane = jit_ref[1:2, :]
+
+        def stratum(s, _):
+            sf = s.astype(jnp.float32)
+            sh0 = sf * _R2_A1
+            sh1 = sf * _R2_A2
+            u0 = u0_lane + (sh0 - jnp.floor(sh0))
+            u0 = u0 - jnp.floor(u0)
+            u1 = u1_lane + (sh1 - jnp.floor(sh1))
+            u1 = u1 - jnp.floor(u1)
+            fi = (s % ntheta).astype(jnp.float32)
+            fj = (s // ntheta).astype(jnp.float32)
+            z0 = (fi + u0) * (1.0 / ntheta)
+            z1 = (fj + u1) * (1.0 / nphi)
+            cos_t = jnp.sqrt(z0)
+            phi = (2.0 * jnp.pi) * z1
+            lx = jnp.cos(phi) * cos_t
+            ly = jnp.sin(phi) * cos_t
+            lz = jnp.sqrt(jnp.maximum(1.0 - z0, 0.0))
+            dx = lx * b0x + ly * b1x + lz * b2x
+            dy = lx * b0y + ly * b1y + lz * b2y
+            dz = lx * b0z + ly * b1z + lz * b2z
+            ivx = _bounded_inv(dx)
+            ivy = _bounded_inv(dy)
+            ivz = _bounded_inv(dz)
+
+            cur_ref[:, :] = jnp.zeros((1, rb), jnp.float32)
+
+            def mt_tile(k, first):
+                base = (first + k) * TC
+                (v0x, v0y, v0z, e1x, e1y, e1z, e2x, e2y, e2z) = (
+                    _load_tile_cols(tris_ref, base, range(9))
+                )
+                px = dy * e2z - dz * e2y
+                py = dz * e2x - dx * e2z
+                pz = dx * e2y - dy * e2x
+                a = e1x * px + e1y * py + e1z * pz
+                valid = jnp.abs(a) > DET_EPS
+                inva = jnp.where(valid, 1.0 / jnp.where(valid, a, 1.0), 0.0)
+                sx = ox - v0x
+                sy = oy - v0y
+                sz = oz - v0z
+                qx = sy * e1z - sz * e1y
+                qy = sz * e1x - sx * e1z
+                qz = sx * e1y - sy * e1x
+                u = (sx * px + sy * py + sz * pz) * inva
+                v = (qx * dx + qy * dy + qz * dz) * inva
+                t = (e2x * qx + e2y * qy + e2z * qz) * inva
+                hit = (
+                    valid
+                    & (u >= 0.0)
+                    & (u <= 1.0)
+                    & (v >= 0.0)
+                    & (u + v <= 1.0)
+                    & (t > 0.0)
+                )
+                any1 = jnp.any(hit, axis=0, keepdims=True)
+                cur_ref[:, :] = jnp.maximum(
+                    cur_ref[0:1, :], any1.astype(jnp.float32)
+                )
+                return first
+
+            def tcond(node):
+                return node < n_nodes
+
+            def tbody(node):
+                tn, tf = _slab(node, nbox_ref, ox, oy, oz, ivx, ivy, ivz)
+                reach = (
+                    (tn <= tf)
+                    & (tf > 0.0)
+                    & (cur_ref[0:1, :] < 0.5)
+                    & (hit_row > 0.5)
+                )
+                live = jnp.any(reach)
+                ltiles = nmeta_ref[2, node]
+                leaf = ltiles > 0
+
+                @pl.when(live & leaf)
+                def _leaf():
+                    jax.lax.fori_loop(0, ltiles, mt_tile, nmeta_ref[1, node])
+
+                return jnp.where(
+                    live & jnp.logical_not(leaf), node + 1,
+                    nmeta_ref[0, node]
+                )
+
+            jax.lax.while_loop(tcond, tbody, jnp.int32(0))
+            occ_ref[:, :] = occ_ref[0:1, :] + cur_ref[0:1, :]
+            return 0
+
+        jax.lax.fori_loop(0, nsamples, stratum, 0)
+        occ_ref[:, :] = occ_ref[0:1, :] * hit_row
+
+
+def pallas_bvh_ao_occlusion(
+    scene,
+    P_off,
+    b0,
+    b1,
+    b2,
+    hit,
+    key,
+    ntheta: int,
+    nphi: int,
+    interpret: bool | None = None,
+):
+    """BVH-traversed counterpart of pallas_ao.pallas_ao_occlusion: returns
+    (B,) occlusion counts for ntheta*nphi stratified hemisphere rays."""
+    if interpret is None:
+        interpret = jax.default_backend() == "cpu"
+    return _pallas_bvh_ao_occlusion(
+        scene, P_off, b0, b1, b2, hit, key, ntheta, nphi, interpret
+    )
+
+
+@partial(jax.jit, static_argnames=("ntheta", "nphi", "interpret"))
+def _pallas_bvh_ao_occlusion(
+    scene, P_off, b0, b1, b2, hit, key, ntheta, nphi, interpret
+):
+    from lucille_tpu.accel.pallas_ao import compaction_order
+    from lucille_tpu.accel.pallas_isect import _pack
+
+    B = P_off.shape[0]
+    Bpad = -(-B // RAY_BLOCK) * RAY_BLOCK
+    tris, npad = _pack(scene)
+    nbox, nmeta = _node_arrays(scene)
+
+    if Bpad != B:
+        hit_w = jnp.zeros((Bpad,), hit.dtype).at[:B].set(hit)
+        pad3 = lambda a: jnp.zeros((Bpad, 3), a.dtype).at[:B].set(a)
+        P_off, b0, b1, b2 = pad3(P_off), pad3(b0), pad3(b1), pad3(b2)
+    else:
+        hit_w = hit
+    # octant+Morton sorted compaction (pallas_ao.compaction_order's
+    # large-scene branch) — block coherence is what makes the per-block
+    # traversal tight
+    order, nhit = compaction_order(scene, P_off, b2, hit_w, 1 << 20)
+
+    jitter = jnp.zeros((8, Bpad), jnp.float32)
+    jitter = jitter.at[0:2, :B].set(
+        jax.random.uniform(key, (2, B), dtype=jnp.float32)
+    )
+
+    rays = jnp.zeros((16, Bpad), jnp.float32)
+    rays = rays.at[0:3].set(P_off[order].T)
+    rays = rays.at[3:6].set(b0[order].T)
+    rays = rays.at[6:9].set(b1[order].T)
+    rays = rays.at[9:12].set(b2[order].T)
+    rays = rays.at[12].set(hit_w[order].astype(jnp.float32))
+    nact = nhit.astype(jnp.int32).reshape((1,))
+
+    def spec(shape, index_map):
+        return pl.BlockSpec(shape, index_map, memory_space=_VMEM)
+
+    smem = pl.BlockSpec(memory_space=pltpu.SMEM)
+    occ_sorted = pl.pallas_call(
+        partial(_bvh_ao_kernel, n_nodes=scene.n_nodes, ntheta=ntheta,
+                nphi=nphi),
+        grid=(Bpad // RAY_BLOCK,),
+        in_specs=[
+            smem,
+            spec((16, RAY_BLOCK), lambda i: (0, i)),
+            spec((8, RAY_BLOCK), lambda i: (0, i)),
+            smem,
+            smem,
+            spec((16, npad), lambda i: (0, 0)),
+        ],
+        out_specs=spec((1, RAY_BLOCK), lambda i: (0, i)),
+        out_shape=jax.ShapeDtypeStruct((1, Bpad), jnp.float32),
+        scratch_shapes=[pltpu.VMEM((1, RAY_BLOCK), jnp.float32)],
+        interpret=interpret,
+    )(nact, rays, jitter, nbox, nmeta, tris)
+    occ = jnp.zeros((Bpad,), jnp.float32).at[order].set(occ_sorted[0])
+    return occ[:B]

@@ -1,23 +1,23 @@
-"""Stackless BVH traversal over ray wavefronts.
+"""BVH traversal DIAGNOSTICS over ray wavefronts.
 
-TPU-first re-design of the reference's stack-based traversal
-(bvh_traverse, bvh.c:1093-1190): instead of a per-ray stack (which would
-need per-lane scatter/gather into scratch), every ray carries ONE integer
-— its current node in the depth-first order — and follows skip links:
+Round 1 carried a gathered per-lane production traversal here; it ran at
+~8 Krays/s on TPU and faulted the runtime above 2^17-ray wavefronts, so
+it was deleted — the production BVH path is the Pallas tile-BVH
+(accel/pallas_bvh.py), where all vector work is dense and traversal
+control flow is scalar.
 
-    bbox hit at inner node  -> node + 1        (descend to first child)
-    bbox miss               -> skip[node]      (jump over the subtree)
-    leaf (after tri tests)  -> skip[node]
-    node == n_nodes         -> done
+What remains is the per-ray instrumentation path: `bvh_diag` mirrors the
+reference's opt-in traversal diagnostics (ri_bvh_diag_t, bvh.h:95-104)
+and feeds the BVH visualizer (tools_tpu/bvh_viz.py, the counterpart of
+the testbed's BVHVisualizer.cpp).  Per-ray exactness matters more than
+throughput for a heatmap, so the gathered walk is the right tool here —
+it reports node visits / leaf visits / triangle tests for EACH ray, which
+the block-level kernel cannot (its counters are per 256-lane block).
 
-The whole wavefront advances in lock-step inside one `lax.while_loop`;
-node data is fetched with vectorized gathers.  Leaf triangle tests are a
-statically-unrolled loop of `leaf_size` masked Moller-Trumbore tests
-(bvh.c:731-791 semantics).  Early-out for occlusion rays flips the ray
-straight to done on first hit.
-
-Traversal-statistics counters (node visits, triangle tests) mirror
-ri_statistic_t (render.h:40-47) and are returned per call.
+Node layout: skip-link DFS arrays over tile-aligned leaves
+(accel/pallas_bvh.build_tile_bvh): node_first/node_count are in TILE
+units; a leaf's triangles occupy [first*TC, (first+count)*TC) with
+degenerate zero-triangle padding that can never hit.
 """
 
 from __future__ import annotations
@@ -26,6 +26,7 @@ import jax
 import jax.numpy as jnp
 
 from lucille_tpu.accel.bruteforce import DET_EPS, _tcap
+from lucille_tpu.accel.pallas_isect import TC
 
 SLAB_EPS = 1.0e-6
 
@@ -65,198 +66,13 @@ def _mt_single(org, dirn, v0, e1, e2):
     return t, u, v, hit
 
 
-# Largest wavefront the traversal loop takes in one piece: beyond ~2^17
-# rays the gathered while_loop faults the TPU runtime (reproduced at
-# 230400 rays / 32k tris on v5e via axon; 131072 is fine), and chunking
-# also bounds the gather temporaries.  Larger wavefronts are processed in
-# static slices and re-concatenated.
-_MAX_WAVEFRONT = 65536
-
-
-def _chunked(impl, scene, org, dirn, tmax, tmin):
-    B = org.shape[0]
-    if B <= _MAX_WAVEFRONT:
-        return impl(scene, org, dirn, tmax, tmin)
-    outs = []
-    for s in range(0, B, _MAX_WAVEFRONT):
-        e = min(B, s + _MAX_WAVEFRONT)
-        tm = tmax
-        if tm is not None and hasattr(tm, "shape") and getattr(tm, "shape", ()):
-            tm = tmax[s:e]
-        outs.append(impl(scene, org[s:e], dirn[s:e], tm, tmin))
-    if isinstance(outs[0], dict):
-        res = {}
-        for k in outs[0]:
-            if outs[0][k].ndim == 0:  # ntrav/ntests counters
-                res[k] = sum(o[k] for o in outs)
-            else:
-                res[k] = jnp.concatenate([o[k] for o in outs])
-        return res
-    return jnp.concatenate(outs)
-
-
-def bvh_closest_hit(scene, org, dirn, tmax=None, tmin: float = 0.0):
-    """Closest hit via skip-link traversal.  Same contract as
-    brute_closest_hit.  Wavefronts beyond _MAX_WAVEFRONT are chunked."""
-    if org.shape[0] > _MAX_WAVEFRONT:
-        return _chunked(_bvh_closest_hit_impl, scene, org, dirn, tmax, tmin)
-    return _bvh_closest_hit_impl(scene, org, dirn, tmax, tmin)
-
-
-def _bvh_closest_hit_impl(scene, org, dirn, tmax=None, tmin: float = 0.0):
-    B = org.shape[0]
-    n_nodes = scene.n_nodes
-    leaf = scene.leaf_size
-    DONE = n_nodes
-
-    inv_dir = 1.0 / jnp.where(jnp.abs(dirn) > 1e-20, dirn, 1e-20)
-
-    # Derive every carry array from the ray data so the while_loop carry
-    # keeps the rays' varying-axis type under shard_map (a literal
-    # jnp.zeros carry is 'replicated' and trips the vma check; note
-    # zeros_like drops the vma too — `x * 0` keeps it).
-    z = org[..., 0] * 0.0
-    zi = z.astype(jnp.int32)
-    t0 = _tcap(B, tmax) + z
-    state = dict(
-        node=zi,
-        t=t0,
-        u=z,
-        v=z,
-        tri=zi - 1,
-        ntrav=jnp.sum(zi),
-        ntests=jnp.sum(zi),
-    )
-
-    def cond(s):
-        return jnp.any(s["node"] < DONE)
-
-    def body(s):
-        node = s["node"]
-        active = node < DONE
-        idx = jnp.minimum(node, DONE - 1)
-
-        bbmin = _gather3(scene.node_bbmin, idx)
-        bbmax = _gather3(scene.node_bbmax, idx)
-        skip = scene.node_skip[idx]
-        first = scene.node_first[idx]
-        count = scene.node_count[idx]
-
-        box_hit = active & _slab_test(bbmin, bbmax, org, inv_dir, s["t"])
-        is_leaf = count > 0
-        test_leaf = box_hit & is_leaf
-
-        t_best, u_best, v_best, tri_best = s["t"], s["u"], s["v"], s["tri"]
-        ntests = s["ntests"]
-        for k in range(leaf):
-            m = test_leaf & (k < count)
-            tri = jnp.minimum(first + k, scene.tri_v0.shape[0] - 1)
-            tv0 = _gather3(scene.tri_v0, tri)
-            te1 = _gather3(scene.tri_e1, tri)
-            te2 = _gather3(scene.tri_e2, tri)
-            t, u, v, hit = _mt_single(org, dirn, tv0, te1, te2)
-            better = m & hit & (t > tmin) & (t < t_best)
-            t_best = jnp.where(better, t, t_best)
-            u_best = jnp.where(better, u, u_best)
-            v_best = jnp.where(better, v, v_best)
-            tri_best = jnp.where(better, tri, tri_best)
-            ntests = ntests + jnp.sum(m.astype(jnp.int32))
-
-        descend = box_hit & ~is_leaf
-        nxt = jnp.where(descend, idx + 1, skip)
-        node = jnp.where(active, nxt, DONE)
-
-        return dict(
-            node=node,
-            t=t_best,
-            u=u_best,
-            v=v_best,
-            tri=tri_best,
-            ntrav=s["ntrav"] + jnp.sum(active.astype(jnp.int32)),
-            ntests=ntests,
-        )
-
-    s = jax.lax.while_loop(cond, body, state)
-    return {
-        "t": s["t"],
-        "u": s["u"],
-        "v": s["v"],
-        "tri": s["tri"],
-        "hit": s["tri"] >= 0,
-        "ntests": s["ntests"],
-        "ntrav": s["ntrav"],
-    }
-
-
-def bvh_any_hit(scene, org, dirn, tmax=None, tmin: float = 0.0):
-    """Occlusion query with first-hit early out.  Chunked like closest."""
-    if org.shape[0] > _MAX_WAVEFRONT:
-        return _chunked(_bvh_any_hit_impl, scene, org, dirn, tmax, tmin)
-    return _bvh_any_hit_impl(scene, org, dirn, tmax, tmin)
-
-
-def _bvh_any_hit_impl(scene, org, dirn, tmax=None, tmin: float = 0.0):
-    B = org.shape[0]
-    n_nodes = scene.n_nodes
-    leaf = scene.leaf_size
-    DONE = n_nodes
-
-    inv_dir = 1.0 / jnp.where(jnp.abs(dirn) > 1e-20, dirn, 1e-20)
-    z = org[..., 0] * 0.0
-    tcap = _tcap(B, tmax) + z
-
-    state = dict(
-        node=z.astype(jnp.int32),
-        occluded=z > 1.0,
-    )
-
-    def cond(s):
-        return jnp.any(s["node"] < DONE)
-
-    def body(s):
-        node = s["node"]
-        active = node < DONE
-        idx = jnp.minimum(node, DONE - 1)
-
-        bbmin = _gather3(scene.node_bbmin, idx)
-        bbmax = _gather3(scene.node_bbmax, idx)
-        skip = scene.node_skip[idx]
-        first = scene.node_first[idx]
-        count = scene.node_count[idx]
-
-        box_hit = active & _slab_test(bbmin, bbmax, org, inv_dir, tcap)
-        is_leaf = count > 0
-        test_leaf = box_hit & is_leaf
-
-        occluded = s["occluded"]
-        for k in range(leaf):
-            m = test_leaf & (k < count)
-            tri = jnp.minimum(first + k, scene.tri_v0.shape[0] - 1)
-            tv0 = _gather3(scene.tri_v0, tri)
-            te1 = _gather3(scene.tri_e1, tri)
-            te2 = _gather3(scene.tri_e2, tri)
-            t, _, _, hit = _mt_single(org, dirn, tv0, te1, te2)
-            occluded = occluded | (m & hit & (t > tmin) & (t < tcap))
-
-        descend = box_hit & ~is_leaf
-        nxt = jnp.where(descend, idx + 1, skip)
-        # early out: occluded rays are done
-        node = jnp.where(active & ~occluded, nxt, DONE)
-        return dict(node=node, occluded=occluded)
-
-    s = jax.lax.while_loop(cond, body, state)
-    return s["occluded"]
-
-
 def bvh_diag(scene, org, dirn):
     """Per-ray traversal diagnostics (ri_bvh_diag_t, bvh.h:95-104): node
     visits, leaf visits and triangle tests per query, feeding the BVH
-    visualizer (tools_tpu/bvh_viz.py — the testbed BVHVisualizer.cpp
-    counterpart).  Returns the closest-hit dict plus per-ray counters
+    visualizer.  Returns the closest-hit dict plus per-ray counters
     'nvisits', 'nleafs', 'ntris' (B,) i32."""
     B = org.shape[0]
     n_nodes = scene.n_nodes
-    leaf = scene.leaf_size
     DONE = n_nodes
 
     inv_dir = 1.0 / jnp.where(jnp.abs(dirn) > 1e-20, dirn, 1e-20)
@@ -281,17 +97,18 @@ def bvh_diag(scene, org, dirn):
         bbmin = _gather3(scene.node_bbmin, idx)
         bbmax = _gather3(scene.node_bbmax, idx)
         skip = scene.node_skip[idx]
-        first = scene.node_first[idx]
+        first = scene.node_first[idx]  # tile units (pallas_bvh layout)
         count = scene.node_count[idx]
         box_hit = active & _slab_test(bbmin, bbmax, org, inv_dir, s["t"])
         is_leaf = count > 0
         test_leaf = box_hit & is_leaf
 
-        t_best, tri_best = s["t"], s["tri"]
-        ntris = s["ntris"]
-        for k in range(leaf):
-            m = test_leaf & (k < count)
-            tri = jnp.minimum(first + k, scene.tri_v0.shape[0] - 1)
+        ntri_max = jnp.max(jnp.where(test_leaf, count, 0)) * TC
+
+        def leaf_k(k, carry):
+            t_best, tri_best, ntris = carry
+            m = test_leaf & (k < count * TC)
+            tri = jnp.minimum(first * TC + k, scene.tri_v0.shape[0] - 1)
             t, _, _, hit = _mt_single(
                 org,
                 dirn,
@@ -303,6 +120,11 @@ def bvh_diag(scene, org, dirn):
             t_best = jnp.where(better, t, t_best)
             tri_best = jnp.where(better, tri, tri_best)
             ntris = ntris + m.astype(jnp.int32)
+            return t_best, tri_best, ntris
+
+        t_best, tri_best, ntris = jax.lax.fori_loop(
+            0, ntri_max, leaf_k, (s["t"], s["tri"], s["ntris"])
+        )
 
         descend = box_hit & ~is_leaf
         nxt = jnp.where(descend, idx + 1, skip)

@@ -22,7 +22,10 @@ from lucille_tpu.scene.types import SceneArrays
 
 PAD_MULTIPLE = 256  # keeps brute-force chunks and BVH leaves lane-aligned
 EPS_SCALE = 1.0e-4  # scene-relative ray-offset epsilon (f32-safe)
-AUTO_MXU_MAX_TRIS = 131072  # auto accel: culled dense kernel to here, BVH beyond
+# auto accel crossover: the dense Pallas megakernel (O(tiles) per block,
+# origin-hoisted tests) wins on small scenes; the tile-BVH kernels
+# (pallas_bvh.py, O(log) node walks) win beyond
+AUTO_DENSE_MAX_TRIS = 16384
 
 
 def _morton_order(v0, v1, v2, bbmin, bbmax):
@@ -149,44 +152,60 @@ def compile_scene(
     # ---------------- BVH ------------------------------------------------
     accel_method = desc.options.accel_method
     if accel_method == "auto":
-        if n_tris <= AUTO_MXU_MAX_TRIS:
-            # on TPU the fused Pallas kernel wins (60 vs 31 Mrays/s on the
-            # bench scene); elsewhere (CPU tests) the XLA matmul path does
-            import jax
+        import jax
 
-            backend = jax.default_backend()
-            accel_method = "pallas" if backend not in ("cpu",) else "mxu"
+        backend = jax.default_backend()
+        if backend in ("cpu",):
+            accel_method = "mxu"  # XLA matmul path for the CPU test mesh
+        elif n_tris <= AUTO_DENSE_MAX_TRIS:
+            # fused dense Pallas kernel (60 vs 31 Mrays/s on the bench
+            # scene vs the MXU path)
+            accel_method = "pallas"
         else:
-            accel_method = ACCEL_BVH
-    if build_bvh is None:
-        build_bvh = accel_method == ACCEL_BVH and n_tris > 0
-    if build_bvh and n_tris > 0:
-        from lucille_tpu.accel.bvh import build_bvh as _build
+            accel_method = "pbvh"
+    if accel_method == ACCEL_BVH:
+        # "bvh" requests the production accelerator: the Pallas tile-BVH
+        # (the reference's workhorse bvh.c:1093 rebuilt TPU-shaped);
+        # interpret mode serves CPU test runs
+        accel_method = "pbvh"
+    del build_bvh  # legacy gathered-traversal knob (tile BVH replaces it)
+    if accel_method == "pbvh" and n_tris > 0:
+        from lucille_tpu.accel.pallas_bvh import build_tile_bvh
 
         timer = get_timer()
         timer.start("BVH Construction")
-        bvh = _build(v0, v1, v2, leaf_size=leaf_size)
+        src, nbox, nmeta, n_nodes = build_tile_bvh(v0, v1, v2)
         dt = timer.end("BVH Construction")
         log(
             LOG_INFO,
-            "BVH built: %d tris, %d nodes, %.3f sec",
+            "tile BVH built: %d tris -> %d padded, %d nodes, %.3f sec",
             n_tris,
-            len(bvh.skip),
+            len(src),
+            n_nodes,
             dt,
         )
-        order = bvh.order
-        v0, v1, v2 = v0[order], v1[order], v2[order]
-        geom_id = geom_id[order]
-        n0, n1, n2 = n0[order], n1[order], n2[order]
-        st0, st1, st2 = st0[order], st1[order], st2[order]
-        c0, c1, c2 = c0[order], c1[order], c2[order]
-        node_bbmin = bvh.bbmin
-        node_bbmax = bvh.bbmax
-        node_skip = bvh.skip
-        node_first = bvh.first
-        node_count = bvh.count
-        n_nodes = len(bvh.skip)
-        accel = "bvh"
+        # scatter per-triangle arrays into the tile-aligned leaf layout;
+        # pad slots (src < 0) become degenerate all-zero triangles that
+        # no intersector can hit
+        take = np.maximum(src, 0)
+        holes = src < 0
+
+        def scat(a):
+            out = np.ascontiguousarray(a[take])
+            out[holes] = 0
+            return out
+
+        v0, v1, v2 = scat(v0), scat(v1), scat(v2)
+        geom_id = scat(geom_id)
+        n0, n1, n2 = scat(n0), scat(n1), scat(n2)
+        st0, st1, st2 = scat(st0), scat(st1), scat(st2)
+        c0, c1, c2 = scat(c0), scat(c1), scat(c2)
+        node_bbmin = nbox[0:3].T
+        node_bbmax = nbox[3:6].T
+        node_skip = nmeta[0]
+        node_first = nmeta[1]
+        node_count = nmeta[2]
+        accel = "pbvh"
     else:
         node_bbmin = np.zeros((1, 3))
         node_bbmax = np.zeros((1, 3))
@@ -242,8 +261,11 @@ def compile_scene(
         grid_res = g.res
 
     # ---------------- padding -------------------------------------------
-    n_pad = max(PAD_MULTIPLE, -(-max(n_tris, 1) // PAD_MULTIPLE) * PAD_MULTIPLE)
-    pad = n_pad - n_tris
+    # pbvh arrays are already tile-padded (len(v0) = n_leafpad >= n_tris);
+    # pad from the CURRENT array length either way
+    n_base = max(len(v0), 1)
+    n_pad = max(PAD_MULTIPLE, -(-n_base // PAD_MULTIPLE) * PAD_MULTIPLE)
+    pad = n_pad - len(v0)
 
     def _pad(a, width):
         if pad == 0 and len(a) == n_pad:

@@ -114,6 +114,17 @@ def ao_radiance(
         return _finish(
             scene, res, hit, occ, nsamples, background, textures, B
         )
+    if scene.accel == "pbvh" and scene.n_nodes > 0:
+        # large scenes: fused gather with per-(block, stratum) tile-BVH
+        # traversal (pallas_bvh.py) — the production accelerator
+        from lucille_tpu.accel.pallas_bvh import pallas_bvh_ao_occlusion
+
+        occ = pallas_bvh_ao_occlusion(
+            scene, P_off, b0, b1, b2, hit, key, ntheta, nphi
+        )
+        return _finish(
+            scene, res, hit, occ, nsamples, background, textures, B
+        )
 
     strata = jnp.arange(nsamples, dtype=jnp.int32)
 

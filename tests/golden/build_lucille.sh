@@ -11,8 +11,14 @@ set -e
 REF=/root/reference
 OUT=${1:-/tmp/lucille_cpu}
 mkdir -p "$OUT/obj"
+# -D__64bit__ is REQUIRED on this host: without it ri_mem_free_aligned
+# truncates the embedded malloc address to 32 bits (memory.c:178) and the
+# render crashes freeing bucket pixels.  -DWITH_PTHREAD enables the
+# numcpus-threaded bucket loop (option.c:128-134); -DLINUX lets
+# get_numcpus() read /proc/cpuinfo (option.c:618).
 CFLAGS="-O2 -w -I$REF/include -I$REF/src/base -I$REF/src/ri -I$REF/src/render \
--I$REF/src/transport -I$REF/src/display -I$REF/src/imageio -DNDEBUG"
+-I$REF/src/transport -I$REF/src/display -I$REF/src/imageio -DNDEBUG \
+-D__64bit__ -DWITH_PTHREAD -DLINUX"
 for d in base ri render transport display imageio; do
   for f in "$REF"/src/$d/*.c; do
     o="$OUT/obj/$(basename "$f" .c)_$d.o"

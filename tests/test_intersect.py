@@ -79,7 +79,12 @@ class TestBVHBuild:
 class TestParity:
     @pytest.mark.parametrize("seed", [0, 1])
     def test_closest_hit_bvh_matches_bruteforce(self, seed):
-        from lucille_tpu.accel import brute_closest_hit, bvh_closest_hit
+        """The Pallas tile-BVH (interpret mode on CPU) against the
+        brute-force oracle."""
+        from lucille_tpu.accel import brute_closest_hit
+        from lucille_tpu.accel.pallas_bvh import (
+            pallas_bvh_closest_hit as bvh_closest_hit,
+        )
 
         v0, v1, v2 = _random_soup(400, seed=seed)
         sc_bvh = _scene_from_tris(v0, v1, v2, "bvh")
@@ -132,7 +137,10 @@ class TestParity:
         np.testing.assert_array_equal(o1, o2)
 
     def test_any_hit_parity(self):
-        from lucille_tpu.accel import brute_any_hit, bvh_any_hit
+        from lucille_tpu.accel import brute_any_hit
+        from lucille_tpu.accel.pallas_bvh import (
+            pallas_bvh_any_hit as bvh_any_hit,
+        )
 
         v0, v1, v2 = _random_soup(300, seed=7)
         sc_bvh = _scene_from_tris(v0, v1, v2, "bvh")
@@ -181,15 +189,20 @@ class TestReferenceScene:
         rib = "/root/reference/examples/ambient_occlusion/ambient_occlusion.rib"
         if not os.path.exists(rib):
             pytest.skip("reference unavailable")
-        from lucille_tpu.accel import brute_closest_hit, bvh_closest_hit
+        from lucille_tpu.accel import brute_closest_hit
+        from lucille_tpu.accel.pallas_bvh import (
+            pallas_bvh_closest_hit as bvh_closest_hit,
+        )
         from lucille_tpu.ri.api import RiState
         from lucille_tpu.rib.parser import parse_rib_file
         from lucille_tpu.scene.compile import compile_scene
 
         s = RiState()
         parse_rib_file(rib, s)
-        sc_bvh = compile_scene(s.scene, build_bvh=True).device_put()
-        sc_bf = compile_scene(s.scene, build_bvh=False).device_put()
+        s.scene.options.accel_method = "bvh"
+        sc_bvh = compile_scene(s.scene).device_put()
+        s.scene.options.accel_method = "bruteforce"
+        sc_bf = compile_scene(s.scene).device_put()
         xs, ys = np.meshgrid(np.linspace(0, 640, 32), np.linspace(0, 480, 24))
         org, dirn = s.camera.generate_rays(
             jnp.asarray(xs.ravel(), jnp.float32), jnp.asarray(ys.ravel(), jnp.float32)

@@ -60,7 +60,9 @@ class TestNativeBVH:
     def test_traversal_parity_native_vs_numpy_tree(self):
         import jax.numpy as jnp
 
-        from lucille_tpu.accel.traverse import bvh_closest_hit
+        from lucille_tpu.accel.pallas_bvh import (
+            pallas_bvh_closest_hit as bvh_closest_hit,
+        )
         from tests.test_intersect import _scene_from_tris
 
         v0, v1, v2 = _soup(500, seed=5)
