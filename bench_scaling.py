@@ -37,7 +37,7 @@ def main():
     if os.environ.get("JAX_PLATFORMS", "").lower().startswith("cpu"):
         jax.config.update("jax_platforms", "cpu")
 
-    from lucille_tpu.parallel.mesh import make_mesh, render_frame_sharded
+    from lucille_tpu.parallel.mesh import make_mesh
     from lucille_tpu.ri.api import RiState
     from lucille_tpu.rib.parser import parse_rib_file
 
@@ -81,11 +81,16 @@ def main():
             "xla_force_host_platform_device_count"
             in os.environ.get("XLA_FLAGS", "")
         )
-        # warm (compile + claim)
-        render_frame_sharded(state.scene, mesh, tile=a.tile)
+        # the unified production Renderer, sharded over the mesh
+        from lucille_tpu.render.renderer import Renderer
+
+        r = Renderer(state.scene, tile_size=a.tile, mesh=mesh)
+        r.render_frame()  # warm (compile + claim)
+        nrays0 = r.stats.nrays
         t0 = time.perf_counter()
-        img, nrays = render_frame_sharded(state.scene, mesh, tile=a.tile)
+        img = r.render_frame()
         dt = time.perf_counter() - t0
+        nrays = r.stats.nrays - nrays0
         rps = nrays / dt
         results.append((n, rps))
         print(

@@ -60,6 +60,27 @@ def build_argparser() -> argparse.ArgumentParser:
     )
     p.add_argument("--nthreads", type=int, help="accepted for lsh compatibility")
     p.add_argument(
+        "--mesh",
+        type=int,
+        default=None,
+        metavar="N",
+        help="shard tiles over an N-device mesh (default: all devices in "
+        "a multi-process run, single device otherwise)",
+    )
+    p.add_argument(
+        "--coordinator",
+        default=None,
+        metavar="HOST:PORT",
+        help="multi-host coordinator address (jax.distributed; the "
+        "ri_parallel_init analog, parallel.c:62)",
+    )
+    p.add_argument(
+        "--num-processes", type=int, default=None, help="multi-host process count"
+    )
+    p.add_argument(
+        "--process-id", type=int, default=None, help="this host's process index"
+    )
+    p.add_argument(
         "--recover",
         action="store_true",
         help="tile-level checkpoint + resume (the reference accepts PRMan's "
@@ -75,6 +96,29 @@ def build_argparser() -> argparse.ArgumentParser:
 
 def main(argv=None) -> int:
     args = build_argparser().parse_args(argv)
+
+    # multi-host bring-up FIRST, before anything touches a JAX backend —
+    # the reference calls ri_parallel_init before RiBegin (main.c:119)
+    from lucille_tpu.parallel.distributed import (
+        barrier,
+        initialize_distributed,
+        is_primary_host,
+    )
+
+    distributed = initialize_distributed(
+        args.coordinator, args.num_processes, args.process_id
+    )
+
+    # honor JAX_PLATFORMS=cpu before any backend query: this container's
+    # sitecustomize imports jax at startup and latches the TPU plugin,
+    # which would leave default_backend()=tpu while a CPU mesh runs (and
+    # the Pallas wrappers would pick compiled Mosaic instead of interpret)
+    import os
+
+    if os.environ.get("JAX_PLATFORMS", "").lower().startswith("cpu"):
+        import jax
+
+        jax.config.update("jax_platforms", "cpu")
 
     from lucille_tpu.base.log import set_debug
     from lucille_tpu.base.timer import get_timer
@@ -140,17 +184,25 @@ def main(argv=None) -> int:
     desc = state.scene
     opt = desc.options
 
-    renderer = Renderer(desc, tile_size=opt.tile_size)
+    mesh = None
+    if args.mesh is not None or distributed:
+        from lucille_tpu.parallel.mesh import make_mesh
 
+        mesh = make_mesh(args.mesh)  # None -> all (global) devices
+    renderer = Renderer(desc, tile_size=opt.tile_size, mesh=mesh)
+
+    # host 0 owns every display, exactly like lucille's rank-0-only
+    # drv->open/write/close (render.c:468-514, 1219-1243)
     drivers = []
-    for d in opt.displays or [None]:
-        if d is None:
-            drv = get_display_driver("framebuffer")
-            drv.open("untitled.hdr", opt.width, opt.height)
-        else:
-            drv = get_display_driver(d.driver)
-            drv.open(d.name, opt.width, opt.height)
-        drivers.append(drv)
+    if is_primary_host():
+        for d in opt.displays or [None]:
+            if d is None:
+                drv = get_display_driver("framebuffer")
+                drv.open("untitled.hdr", opt.width, opt.height)
+            else:
+                drv = get_display_driver(d.driver)
+                drv.open(d.name, opt.width, opt.height)
+            drivers.append(drv)
 
     last = [0.0]
     t_start = [None]
@@ -181,8 +233,14 @@ def main(argv=None) -> int:
 
     ckpt = None
     if args.recover:
-        base = (opt.current_display().name or "untitled.hdr") if opt.displays else "untitled.hdr"
-        ckpt = base + ".ckpt.npz"
+        if distributed:
+            # tile skipping must be identical on every process or the
+            # sharded rounds desync; until the done-bitmap is broadcast,
+            # refuse rather than deadlock
+            print("lucille-tpu: --recover is single-process only; ignoring")
+        else:
+            base = (opt.current_display().name or "untitled.hdr") if opt.displays else "untitled.hdr"
+            ckpt = base + ".ckpt.npz"
 
     image = renderer.render_frame(
         tile_cb=tile_cb,
@@ -196,8 +254,9 @@ def main(argv=None) -> int:
 
     for drv in drivers:
         drv.close()
+    barrier("frame-end")  # render.c:368's post-frame MPI barrier
 
-    if args.stats or args.verbose:
+    if (args.stats or args.verbose) and is_primary_host():
         print(renderer.stats.report())
         print(timer.dump())
     return 0

@@ -8,10 +8,28 @@ mechanism here — static tile sharding over a `jax.sharding.Mesh` with
 (the analog of rank-0 display ownership, render.c:468-514).
 """
 
+from lucille_tpu.parallel.distributed import (
+    all_gather_host,
+    barrier,
+    initialize_distributed,
+    is_primary_host,
+    process_count,
+    process_index,
+)
 from lucille_tpu.parallel.mesh import (
     make_mesh,
     render_frame_sharded,
-    sharded_tile_renderer,
+    sharded_tile_batch,
 )
 
-__all__ = ["make_mesh", "sharded_tile_renderer", "render_frame_sharded"]
+__all__ = [
+    "make_mesh",
+    "sharded_tile_batch",
+    "render_frame_sharded",
+    "initialize_distributed",
+    "is_primary_host",
+    "process_count",
+    "process_index",
+    "barrier",
+    "all_gather_host",
+]

@@ -120,13 +120,46 @@ def build_tile_kernel(
     return kernel
 
 
+class _Round:
+    """One sharded tile round in flight: D tiles, one per mesh device.
+    Materializes to host numpy lazily, once, on first access (so the
+    async-dispatch overlap of the single-device path is preserved)."""
+
+    def __init__(self, result):
+        self._result = result
+        self._np = None
+
+    def get(self, slot: int):
+        if self._np is None:
+            from lucille_tpu.parallel.distributed import all_gather_host
+
+            imgs, aux = self._result
+            self._np = (
+                all_gather_host(imgs),
+                {k: all_gather_host(v) for k, v in aux.items()},
+            )
+            self._result = None
+        imgs, aux = self._np
+        return imgs[slot], {
+            "nrays": aux["nrays"][slot],
+            "ntests": aux["ntests"][slot],
+            "ntrav": aux["ntrav"][slot],
+        }
+
+
 @dataclass
 class Renderer:
-    """Holds the compiled scene + camera and renders frames."""
+    """Holds the compiled scene + camera and renders frames.
+
+    mesh: optional jax.sharding.Mesh — tiles are then dispatched in rounds
+    of mesh-size through a shard_map of the SAME tile kernel (any
+    integrator, filters, textures), the successor of lucille's MPI bucket
+    distribution (render.c:559-573, scaffolded there, working here)."""
 
     desc: "SceneDescription"
     tile_size: int = 64
     frame_mode: bool = False  # render the whole frame in one device call
+    mesh: object = None  # jax.sharding.Mesh | None
     stats: RenderStats = field(default_factory=RenderStats)
 
     def __post_init__(self):
@@ -144,6 +177,8 @@ class Renderer:
         self.lights = build_light_tables(self.desc)
         self._kernel = None
         self._kernel_shape = None
+        self._batch = None  # shard_map'ed kernel (mesh mode)
+        self._batch_kernel = None  # the tile kernel _batch wraps
 
     def _get_kernel(self, tile_w, tile_h, xsamples, ysamples):
         opt = self.desc.options
@@ -171,6 +206,16 @@ class Renderer:
             )
             self._kernel_shape = shape
         return self._kernel
+
+    def _get_batch(self, kernel):
+        """shard_map'ed wrapper of the tile kernel, rebuilt only when the
+        kernel itself changes (mesh mode)."""
+        if self._batch is None or self._batch_kernel is not kernel:
+            from lucille_tpu.parallel.mesh import sharded_tile_batch
+
+            self._batch = sharded_tile_batch(self.mesh, kernel)
+            self._batch_kernel = kernel
+        return self._batch
 
     def render_frame(
         self,
@@ -285,19 +330,48 @@ class Renderer:
         # kernel before the first blocking host transfer, so device
         # compute overlaps host-side collection (the TPU link is remote;
         # per-call latency would otherwise serialize with compute)
-        pending = []
-        for ti, (x0, y0, _i, _j) in enumerate(tiles):
-            if done[ti]:
-                pending.append(None)
-                continue
-            # key folds on the tile ORIGIN (not list index) so a cropped
-            # render's sample streams match the full render's exactly
-            tkey = jax.random.fold_in(jax.random.fold_in(key, x0), y0)
-            pending.append(
-                kernel(
-                    self.scene, jnp.int32(x0), jnp.int32(y0), jitter, weights, tkey
+        if self.mesh is not None and not self.frame_mode:
+            # mesh mode: rounds of one tile per device through a shard_map
+            # of the SAME kernel (the working version of the reference's
+            # scaffolded MPI bucket distribution, render.c:559-573)
+            batch = self._get_batch(kernel)
+            D = int(self.mesh.devices.size)
+            todo = [ti for ti in range(len(tiles)) if not done[ti]]
+            pending = [None] * len(tiles)
+            fold_origin = jax.vmap(
+                lambda xy: jax.random.fold_in(
+                    jax.random.fold_in(key, xy[0]), xy[1]
                 )
             )
+            for s in range(0, len(todo), D):
+                group = todo[s : s + D]
+                # short final round: repeat the last tile into the unused
+                # slots (rendered, discarded — the static-shape analog of
+                # empty buckets)
+                padded = group + [group[-1]] * (D - len(group))
+                origins = jnp.asarray(
+                    [[tiles[ti][0], tiles[ti][1]] for ti in padded],
+                    dtype=jnp.int32,
+                )
+                rnd = _Round(
+                    batch(self.scene, origins, fold_origin(origins), jitter, weights)
+                )
+                for slot, ti in enumerate(group):
+                    pending[ti] = (rnd, slot)
+        else:
+            pending = []
+            for ti, (x0, y0, _i, _j) in enumerate(tiles):
+                if done[ti]:
+                    pending.append(None)
+                    continue
+                # key folds on the tile ORIGIN (not list index) so a
+                # cropped render's sample streams match the full render's
+                tkey = jax.random.fold_in(jax.random.fold_in(key, x0), y0)
+                pending.append(
+                    kernel(
+                        self.scene, jnp.int32(x0), jnp.int32(y0), jitter, weights, tkey
+                    )
+                )
         for ti, (x0, y0, _i, _j) in enumerate(tiles):
             th = min(tile_h, H - y0)
             tw = min(tile_w, W - x0)
@@ -307,7 +381,10 @@ class Renderer:
                 if progress_cb:
                     progress_cb((ti + 1) / len(tiles))
                 continue
-            img, aux = pending[ti]
+            if isinstance(pending[ti][0], _Round):
+                img, aux = pending[ti][0].get(pending[ti][1])
+            else:
+                img, aux = pending[ti]
             tile_np = np.asarray(img)
             if cropped:
                 # clip the tile write to the crop rect

@@ -151,6 +151,10 @@ def compile_scene(
 
     # ---------------- BVH ------------------------------------------------
     accel_method = desc.options.accel_method
+    if build_bvh:
+        # callers that need node arrays regardless of the accel heuristic
+        # (the BVH visualizer's diagnostics path, tools_tpu/bvh_viz.py)
+        accel_method = "pbvh"
     if accel_method == "auto":
         import jax
 
@@ -168,7 +172,6 @@ def compile_scene(
         # (the reference's workhorse bvh.c:1093 rebuilt TPU-shaped);
         # interpret mode serves CPU test runs
         accel_method = "pbvh"
-    del build_bvh  # legacy gathered-traversal knob (tile BVH replaces it)
     if accel_method == "pbvh" and n_tris > 0:
         from lucille_tpu.accel.pallas_bvh import build_tile_bvh
 

@@ -55,8 +55,15 @@ class TestAOParity:
     def test_bruteforce_accel_matches_bvh(self):
         img_bvh, _ = _render_ao(64, 48, accel_method="bvh")
         img_bf, _ = _render_ao(64, 48, accel_method="bruteforce")
-        # same RNG keys + same geometry => identical occlusion tests
-        np.testing.assert_allclose(img_bvh, img_bf, atol=1e-5)
+        # "bvh" routes to the fused tile-BVH AO kernel, whose stratified
+        # jitter is a Cranley-Patterson rotation (pallas_bvh.py) while the
+        # bruteforce scan path draws fresh per-stratum uniforms — both are
+        # unbiased stratified estimators, so parity is statistical here.
+        # Exact traversal parity (same rays -> same hits/occlusion counts)
+        # is asserted in tests/test_pallas_bvh.py.
+        diff = np.abs(img_bvh - img_bf)
+        assert diff.mean() < 0.01, f"mean diff {diff.mean():.4f}"
+        assert diff.max() < 0.12, f"max diff {diff.max():.4f}"
 
 
 PS_RIB = "/root/reference/examples/plane_sphere/Scene_DEFAULT_Set0.rib"
