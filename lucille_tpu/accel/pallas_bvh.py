@@ -68,7 +68,7 @@ _R2_A2 = 0.5698402909980532
 # ---------------------------------------------------------------------------
 
 
-def build_tile_bvh(v0, v1, v2, node_budget: int = NODE_BUDGET):
+def build_tile_bvh(v0, v1, v2, node_budget: int | None = None):
     """SAH BVH with tile-aligned leaves.
 
     Returns (src, nbox, nmeta, n_nodes):
@@ -85,6 +85,8 @@ def build_tile_bvh(v0, v1, v2, node_budget: int = NODE_BUDGET):
     """
     from lucille_tpu.accel.bvh import build_bvh
 
+    if node_budget is None:
+        node_budget = NODE_BUDGET  # read at call time (bench overrides)
     n = len(v0)
     leaf = TC
     while True:
@@ -155,6 +157,101 @@ def _bounded_inv(d):
     return 1.0 / jnp.where(jnp.abs(d) > 1e-20, d, 1e-20)
 
 
+CACHE_SLOTS = 1024  # direct-mapped tile cache: 1024 x (16, TC) f32 = 8 MB
+
+
+def _cache_init(tag_ref):
+    """Mark every cache slot empty.  Must run once per launch, on grid
+    step 0 — TPU scratch persists across grid steps (sequential on one
+    core), which is exactly what lets the cache amortize DMAs across
+    strata AND across ray blocks."""
+
+    @pl.when(pl.program_id(0) == 0)
+    def _():
+        def clr(i, _):
+            tag_ref[i] = 0
+            return 0
+
+        jax.lax.fori_loop(0, CACHE_SLOTS, clr, 0)
+
+
+def _foreach_leaf_tile(tris_ref, cache, sem, tag_ref, first, ltiles, mt_on,
+                       *, hbm):
+    """Run mt_on(cols, base) for every 128-triangle tile of a leaf.
+
+    VMEM-resident scenes read tiles straight out of tris_ref.  HBM scenes
+    (npad > MAX_TRIS_VMEM — a 1M-triangle scene is 64 B/tri = 80 MB,
+    five times the ~16 MB VMEM) go through a direct-mapped VMEM tile
+    cache with SMEM tags: slot = tile % CACHE_SLOTS, a tag miss DMAs the
+    (16, TC) tile from HBM.  Blocks are Morton-sorted and strata revisit
+    the same leaves, so the steady-state hit rate is high — the cache is
+    the TPU analog of the reference BVH's mailboxing (render.h:40-47
+    counts nmailboxhits)."""
+    rows = range(9)
+    if not hbm:
+
+        def body(k, _):
+            base = (first + k) * TC
+            mt_on(_load_tile_cols(tris_ref, base, rows), base)
+            return 0
+
+        jax.lax.fori_loop(0, ltiles, body, 0)
+        return
+
+    def body(k, _):
+        tile = first + k
+        slot = jax.lax.rem(tile, jnp.int32(CACHE_SLOTS))
+        row0 = slot * 16  # cache is (CACHE_SLOTS*16, TC): 16 rows per slot
+
+        @pl.when(tag_ref[slot] != tile + 1)  # 0 = empty (see _cache_init)
+        def _miss():
+            cp = pltpu.make_async_copy(
+                tris_ref.at[:, pl.ds(tile * TC, TC)],
+                cache.at[pl.ds(row0, 16), :],
+                sem,
+            )
+            cp.start()
+            cp.wait()
+            tag_ref[slot] = tile + 1
+
+        cols = [
+            cache[pl.ds(row0 + r, 1), :].reshape(TC)[:, None] for r in rows
+        ]
+        mt_on(cols, tile * TC)
+        return 0
+
+    jax.lax.fori_loop(0, ltiles, body, 0)
+
+
+def _use_hbm(npad: int) -> bool:
+    """Triangles stream from HBM when the packed matrix exceeds the VMEM
+    budget; LUCILLE_BVH_HBM=1 forces streaming (parity tests)."""
+    import os
+
+    if os.environ.get("LUCILLE_BVH_HBM") == "1":
+        return True
+    return npad > MAX_TRIS_VMEM
+
+
+def _tris_spec(hbm: bool, npad: int):
+    """Triangle-matrix BlockSpec: VMEM-resident or HBM-streamed."""
+    if hbm:
+        return pl.BlockSpec(memory_space=pltpu.ANY)
+    return pl.BlockSpec((16, npad), lambda i: (0, 0), memory_space=_VMEM)
+
+
+def _hbm_scratch(hbm: bool):
+    """Extra scratch for the HBM streaming path (direct-mapped tile
+    cache + tags + DMA semaphore); empty when VMEM-resident."""
+    if hbm:
+        return [
+            pltpu.VMEM((CACHE_SLOTS * 16, TC), jnp.float32),
+            pltpu.SemaphoreType.DMA(()),
+            pltpu.SMEM((CACHE_SLOTS,), jnp.int32),
+        ]
+    return []
+
+
 # ---------------------------------------------------------------------------
 # closest hit
 # ---------------------------------------------------------------------------
@@ -170,9 +267,13 @@ def _bvh_closest_kernel(
     v_ref,
     tri_ref,
     stat_ref,
-    *,
+    *scratch,
     n_nodes,
+    hbm=False,
 ):
+    cache, sem, tag = scratch if hbm else (None, None, None)
+    if hbm:
+        _cache_init(tag)
     ox = rays_ref[0:1, :]
     oy = rays_ref[1:2, :]
     oz = rays_ref[2:3, :]
@@ -189,13 +290,10 @@ def _bvh_closest_kernel(
     v_ref[:, :] = jnp.zeros(v_ref.shape, jnp.float32)
     tri_ref[:, :] = jnp.full(tri_ref.shape, -1, jnp.int32)
 
-    def mt_tile(k, first):
-        """MT closest-hit update for tile (first + k) — the same fused
+    def mt_on(cols, base):
+        """MT closest-hit update for the tile at `base` — the same fused
         test as pallas_isect._isect_kernel, against the running t."""
-        base = (first + k) * TC
-        (v0x, v0y, v0z, e1x, e1y, e1z, e2x, e2y, e2z) = _load_tile_cols(
-            tris_ref, base, range(9)
-        )
+        (v0x, v0y, v0z, e1x, e1y, e1z, e2x, e2y, e2z) = cols
         t_best = t_ref[0:1, :]
         px = dy * e2z - dz * e2y
         py = dz * e2x - dx * e2z
@@ -236,7 +334,6 @@ def _bvh_closest_kernel(
         u_ref[:, :] = jnp.where(better, u_sel, u_ref[0:1, :])
         v_ref[:, :] = jnp.where(better, v_sel, v_ref[0:1, :])
         tri_ref[:, :] = jnp.where(better, base + j, tri_ref[0:1, :])
-        return first
 
     def tcond(c):
         return c[0] < n_nodes
@@ -251,7 +348,10 @@ def _bvh_closest_kernel(
 
         @pl.when(live & leaf)
         def _leaf():
-            jax.lax.fori_loop(0, ltiles, mt_tile, nmeta_ref[1, node])
+            _foreach_leaf_tile(
+                tris_ref, cache, sem, tag, nmeta_ref[1, node], ltiles,
+                mt_on, hbm=hbm,
+            )
 
         nxt = jnp.where(live & jnp.logical_not(leaf), node + 1,
                         nmeta_ref[0, node])
@@ -311,6 +411,7 @@ def _pallas_bvh_closest_hit(scene, org, dirn, tmax=None, interpret=False):
     nbox, nmeta = _node_arrays(scene)
     n_nodes = scene.n_nodes
     rays, B_real, B = _pad_rays(org, dirn, tmax)
+    hbm = _use_hbm(npad)
 
     def spec(shape, index_map):
         return pl.BlockSpec(shape, index_map, memory_space=_VMEM)
@@ -318,13 +419,13 @@ def _pallas_bvh_closest_hit(scene, org, dirn, tmax=None, interpret=False):
     smem = pl.BlockSpec(memory_space=pltpu.SMEM)
     out_spec = spec((1, RAY_BLOCK), lambda i: (0, i))
     t, u, v, tri, stat = pl.pallas_call(
-        partial(_bvh_closest_kernel, n_nodes=n_nodes),
+        partial(_bvh_closest_kernel, n_nodes=n_nodes, hbm=hbm),
         grid=(B // RAY_BLOCK,),
         in_specs=[
             spec((8, RAY_BLOCK), lambda i: (0, i)),
             smem,
             smem,
-            spec((16, npad), lambda i: (0, 0)),
+            _tris_spec(hbm, npad),
         ],
         out_specs=[out_spec] * 4 + [spec((2, RAY_BLOCK), lambda i: (0, i))],
         out_shape=[
@@ -334,6 +435,7 @@ def _pallas_bvh_closest_hit(scene, org, dirn, tmax=None, interpret=False):
             jax.ShapeDtypeStruct((1, B), jnp.int32),
             jax.ShapeDtypeStruct((2, B), jnp.int32),
         ],
+        scratch_shapes=_hbm_scratch(hbm),
         interpret=interpret,
     )(rays, nbox, nmeta, tris)
 
@@ -356,8 +458,12 @@ def _pallas_bvh_closest_hit(scene, org, dirn, tmax=None, interpret=False):
 
 
 def _bvh_anyhit_kernel(
-    rays_ref, nbox_ref, nmeta_ref, tris_ref, occ_ref, *, n_nodes
+    rays_ref, nbox_ref, nmeta_ref, tris_ref, occ_ref, *scratch,
+    n_nodes, hbm=False,
 ):
+    cache, sem, tag = scratch if hbm else (None, None, None)
+    if hbm:
+        _cache_init(tag)
     ox = rays_ref[0:1, :]
     oy = rays_ref[1:2, :]
     oz = rays_ref[2:3, :]
@@ -371,11 +477,8 @@ def _bvh_anyhit_kernel(
 
     occ_ref[:, :] = jnp.zeros(occ_ref.shape, jnp.float32)
 
-    def mt_tile(k, first):
-        base = (first + k) * TC
-        (v0x, v0y, v0z, e1x, e1y, e1z, e2x, e2y, e2z) = _load_tile_cols(
-            tris_ref, base, range(9)
-        )
+    def mt_on(cols, base):
+        (v0x, v0y, v0z, e1x, e1y, e1z, e2x, e2y, e2z) = cols
         px = dy * e2z - dz * e2y
         py = dz * e2x - dx * e2z
         pz = dx * e2y - dy * e2x
@@ -402,7 +505,6 @@ def _bvh_anyhit_kernel(
         )
         any1 = jnp.any(hit, axis=0, keepdims=True)
         occ_ref[:, :] = jnp.maximum(occ_ref[0:1, :], any1.astype(jnp.float32))
-        return first
 
     def tcond(node):
         return node < n_nodes
@@ -418,7 +520,10 @@ def _bvh_anyhit_kernel(
 
         @pl.when(live & leaf)
         def _leaf():
-            jax.lax.fori_loop(0, ltiles, mt_tile, nmeta_ref[1, node])
+            _foreach_leaf_tile(
+                tris_ref, cache, sem, tag, nmeta_ref[1, node], ltiles,
+                mt_on, hbm=hbm,
+            )
 
         return jnp.where(live & jnp.logical_not(leaf), node + 1,
                          nmeta_ref[0, node])
@@ -440,22 +545,24 @@ def _pallas_bvh_any_hit(scene, org, dirn, tmax=None, interpret=False):
     tris, npad = _pack(scene)
     nbox, nmeta = _node_arrays(scene)
     rays, B_real, B = _pad_rays(org, dirn, tmax)
+    hbm = _use_hbm(npad)
 
     def spec(shape, index_map):
         return pl.BlockSpec(shape, index_map, memory_space=_VMEM)
 
     smem = pl.BlockSpec(memory_space=pltpu.SMEM)
     occ = pl.pallas_call(
-        partial(_bvh_anyhit_kernel, n_nodes=scene.n_nodes),
+        partial(_bvh_anyhit_kernel, n_nodes=scene.n_nodes, hbm=hbm),
         grid=(B // RAY_BLOCK,),
         in_specs=[
             spec((8, RAY_BLOCK), lambda i: (0, i)),
             smem,
             smem,
-            spec((16, npad), lambda i: (0, 0)),
+            _tris_spec(hbm, npad),
         ],
         out_specs=spec((1, RAY_BLOCK), lambda i: (0, i)),
         out_shape=jax.ShapeDtypeStruct((1, B), jnp.float32),
+        scratch_shapes=_hbm_scratch(hbm),
         interpret=interpret,
     )(rays, nbox, nmeta, tris)
     return occ[0, :B_real] > 0.5
@@ -475,11 +582,15 @@ def _bvh_ao_kernel(
     tris_ref,
     occ_ref,
     cur_ref,
-    *,
+    *scratch,
     n_nodes,
     ntheta,
     nphi,
+    hbm=False,
 ):
+    cache, sem, tag = scratch if hbm else (None, None, None)
+    if hbm:
+        _cache_init(tag)
     """Occlusion counts for one compacted ray block.
 
     Per stratum: generate the stratified hemisphere direction for every
@@ -538,11 +649,8 @@ def _bvh_ao_kernel(
 
             cur_ref[:, :] = jnp.zeros((1, rb), jnp.float32)
 
-            def mt_tile(k, first):
-                base = (first + k) * TC
-                (v0x, v0y, v0z, e1x, e1y, e1z, e2x, e2y, e2z) = (
-                    _load_tile_cols(tris_ref, base, range(9))
-                )
+            def mt_on(cols, base):
+                (v0x, v0y, v0z, e1x, e1y, e1z, e2x, e2y, e2z) = cols
                 px = dy * e2z - dz * e2y
                 py = dz * e2x - dx * e2z
                 pz = dx * e2y - dy * e2x
@@ -570,7 +678,6 @@ def _bvh_ao_kernel(
                 cur_ref[:, :] = jnp.maximum(
                     cur_ref[0:1, :], any1.astype(jnp.float32)
                 )
-                return first
 
             def tcond(node):
                 return node < n_nodes
@@ -589,7 +696,10 @@ def _bvh_ao_kernel(
 
                 @pl.when(live & leaf)
                 def _leaf():
-                    jax.lax.fori_loop(0, ltiles, mt_tile, nmeta_ref[1, node])
+                    _foreach_leaf_tile(
+                        tris_ref, cache, sem, tag, nmeta_ref[1, node],
+                        ltiles, mt_on, hbm=hbm,
+                    )
 
                 return jnp.where(
                     live & jnp.logical_not(leaf), node + 1,
@@ -617,12 +727,117 @@ def pallas_bvh_ao_occlusion(
     interpret: bool | None = None,
 ):
     """BVH-traversed counterpart of pallas_ao.pallas_ao_occlusion: returns
-    (B,) occlusion counts for ntheta*nphi stratified hemisphere rays."""
+    (B,) occlusion counts for ntheta*nphi stratified hemisphere rays.
+
+    Two shapes, selectable with LUCILLE_BVH_AO=fused|rebinned:
+
+    - "fused" (default): strata-loop inside one kernel, one walk per
+      (block, stratum), origins sorted by (normal octant, origin Morton).
+    - "rebinned": materialize ALL B*S gather rays, sort them by
+      (direction octant, direction Morton, origin Morton), and run the
+      plain any-hit walk on the resulting 256-ray blocks — the wavefront
+      re-binning design round 1 proposed.  MEASURED WORSE at frame scale
+      (130k heightfield: 2.03 vs 2.76 Mrays/s): a fused block walks once
+      per stratum over 256 origins from one tiny Morton patch (174 node /
+      34.5 leaf visits per 256 rays), while any frame-wide re-binning
+      must mix origins or directions within a block (best ordering: 294
+      node / 67 leaf visits per 256 rays).  Kept for measurement.
+    """
+    import os
+
     if interpret is None:
         interpret = jax.default_backend() == "cpu"
+    if os.environ.get("LUCILLE_BVH_AO", "fused") == "rebinned":
+        return _pallas_bvh_ao_rebinned(
+            scene, P_off, b0, b1, b2, hit, key, ntheta, nphi, interpret
+        )
     return _pallas_bvh_ao_occlusion(
         scene, P_off, b0, b1, b2, hit, key, ntheta, nphi, interpret
     )
+
+
+def _stratified_dirs(b0, b1, b2, key, ntheta: int, nphi: int):
+    """All ntheta*nphi stratified hemisphere directions for every lane:
+    (S, B, 3).  Identical sample distribution to the fused kernel: two
+    per-lane uniforms, Cranley-Patterson-rotated per stratum by the R2
+    sequence (ambientocclusion.c:85-110 strata; qmc.c:380-428 flavor)."""
+    B = b0.shape[0]
+    S = ntheta * nphi
+    u = jax.random.uniform(key, (2, B), dtype=jnp.float32)
+    s = jnp.arange(S, dtype=jnp.float32)
+    sh0 = s * _R2_A1
+    sh0 = sh0 - jnp.floor(sh0)
+    sh1 = s * _R2_A2
+    sh1 = sh1 - jnp.floor(sh1)
+    u0 = u[0][None, :] + sh0[:, None]
+    u0 = u0 - jnp.floor(u0)
+    u1 = u[1][None, :] + sh1[:, None]
+    u1 = u1 - jnp.floor(u1)
+    fi = (jnp.arange(S, dtype=jnp.int32) % ntheta).astype(jnp.float32)
+    fj = (jnp.arange(S, dtype=jnp.int32) // ntheta).astype(jnp.float32)
+    z0 = (fi[:, None] + u0) * (1.0 / ntheta)
+    z1 = (fj[:, None] + u1) * (1.0 / nphi)
+    cos_t = jnp.sqrt(z0)
+    phi = (2.0 * jnp.pi) * z1
+    lx = jnp.cos(phi) * cos_t
+    ly = jnp.sin(phi) * cos_t
+    lz = jnp.sqrt(jnp.maximum(1.0 - z0, 0.0))
+    return (
+        lx[..., None] * b0[None]
+        + ly[..., None] * b1[None]
+        + lz[..., None] * b2[None]
+    )
+
+
+@partial(jax.jit, static_argnames=("ntheta", "nphi", "interpret"))
+def _pallas_bvh_ao_rebinned(
+    scene, P_off, b0, b1, b2, hit, key, ntheta, nphi, interpret
+):
+    from lucille_tpu.accel.pallas_ao import _spread3
+
+    B = P_off.shape[0]
+    S = ntheta * nphi
+    d = _stratified_dirs(b0, b1, b2, key, ntheta, nphi).reshape(S * B, 3)
+    o = jnp.broadcast_to(P_off[None], (S, B, 3)).reshape(S * B, 3)
+    live = jnp.broadcast_to(hit[None], (S, B)).reshape(S * B)
+    # dead rays (missed eye rays): park the origin far outside the scene
+    # bbox pointing away, so their blocks fail the root slab in one step
+    diag = scene.bbox_max - scene.bbox_min
+    o = jnp.where(live[:, None], o, (scene.bbox_min - diag - 1.0)[None])
+    d = jnp.where(live[:, None], d, jnp.asarray([[0.0, 0.0, -1.0]]))
+
+    # coherence key: direction octant | direction Morton (3 bits/axis) |
+    # origin Morton (6 bits/axis); dead rays sort last.  This is the
+    # beam-tracing amortization (bvh.c:545-668) as sorted wavefronts.
+    octant = (
+        (d[:, 0] > 0).astype(jnp.int32) * 4
+        + (d[:, 1] > 0).astype(jnp.int32) * 2
+        + (d[:, 2] > 0).astype(jnp.int32)
+    )
+    qd = jnp.clip(((d * 0.5 + 0.5) * 8.0).astype(jnp.int32), 0, 7)
+    md = (_spread3(qd[:, 0]) << 2) | (_spread3(qd[:, 1]) << 1) | _spread3(
+        qd[:, 2]
+    )
+    ext = jnp.maximum(scene.bbox_max - scene.bbox_min, 1e-12)
+    qo = jnp.clip(
+        ((o - scene.bbox_min) / ext * 64.0).astype(jnp.int32), 0, 63
+    )
+    mo = (_spread3(qo[:, 0]) << 2) | (_spread3(qo[:, 1]) << 1) | _spread3(
+        qo[:, 2]
+    )
+    keybits = (octant << 27) | (md << 18) | mo
+    keybits = jnp.where(live, keybits, jnp.int32(1 << 30))
+    order = jnp.argsort(keybits, stable=False).astype(jnp.int32)
+
+    occ_sorted = pallas_bvh_any_hit(
+        scene, o[order], d[order], interpret=interpret
+    )
+    occ_flat = (
+        jnp.zeros((S * B,), jnp.float32)
+        .at[order]
+        .set(occ_sorted.astype(jnp.float32))
+    )
+    return occ_flat.reshape(S, B).sum(axis=0) * hit.astype(jnp.float32)
 
 
 @partial(jax.jit, static_argnames=("ntheta", "nphi", "interpret"))
@@ -665,9 +880,10 @@ def _pallas_bvh_ao_occlusion(
         return pl.BlockSpec(shape, index_map, memory_space=_VMEM)
 
     smem = pl.BlockSpec(memory_space=pltpu.SMEM)
+    hbm = _use_hbm(npad)
     occ_sorted = pl.pallas_call(
         partial(_bvh_ao_kernel, n_nodes=scene.n_nodes, ntheta=ntheta,
-                nphi=nphi),
+                nphi=nphi, hbm=hbm),
         grid=(Bpad // RAY_BLOCK,),
         in_specs=[
             smem,
@@ -675,11 +891,12 @@ def _pallas_bvh_ao_occlusion(
             spec((8, RAY_BLOCK), lambda i: (0, i)),
             smem,
             smem,
-            spec((16, npad), lambda i: (0, 0)),
+            _tris_spec(hbm, npad),
         ],
         out_specs=spec((1, RAY_BLOCK), lambda i: (0, i)),
         out_shape=jax.ShapeDtypeStruct((1, Bpad), jnp.float32),
-        scratch_shapes=[pltpu.VMEM((1, RAY_BLOCK), jnp.float32)],
+        scratch_shapes=[pltpu.VMEM((1, RAY_BLOCK), jnp.float32)]
+        + _hbm_scratch(hbm),
         interpret=interpret,
     )(nact, rays, jitter, nbox, nmeta, tris)
     occ = jnp.zeros((Bpad,), jnp.float32).at[order].set(occ_sorted[0])
