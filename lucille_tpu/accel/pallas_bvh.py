@@ -236,7 +236,7 @@ def _use_hbm(npad: int) -> bool:
 def _tris_spec(hbm: bool, npad: int):
     """Triangle-matrix BlockSpec: VMEM-resident or HBM-streamed."""
     if hbm:
-        return pl.BlockSpec(memory_space=pltpu.ANY)
+        return pl.BlockSpec(memory_space=pl.ANY)
     return pl.BlockSpec((16, npad), lambda i: (0, 0), memory_space=_VMEM)
 
 
@@ -368,11 +368,18 @@ def _bvh_closest_kernel(
     stat_ref[1:2, :] = jnp.full(stat_ref[1:2, :].shape, ntile, jnp.int32)
 
 
+def _scene_npad(scene) -> int:
+    return -(-scene.tri_v0.shape[0] // TC) * TC
+
+
 def pallas_bvh_closest_hit(scene, org, dirn, tmax=None,
                            interpret: bool | None = None):
     if interpret is None:
         interpret = jax.default_backend() == "cpu"
-    return _pallas_bvh_closest_hit(scene, org, dirn, tmax, interpret)
+    # hbm decided OUTSIDE jit (env-dependent trace inside jit would make
+    # LUCILLE_BVH_HBM flips hit a stale compilation cache)
+    hbm = _use_hbm(_scene_npad(scene))
+    return _pallas_bvh_closest_hit(scene, org, dirn, tmax, interpret, hbm)
 
 
 def _node_arrays(scene):
@@ -403,15 +410,15 @@ def _pad_rays(org, dirn, tmax):
     return rays, B, Bpad
 
 
-@partial(jax.jit, static_argnames=("interpret",))
-def _pallas_bvh_closest_hit(scene, org, dirn, tmax=None, interpret=False):
+@partial(jax.jit, static_argnames=("interpret", "hbm"))
+def _pallas_bvh_closest_hit(scene, org, dirn, tmax=None, interpret=False,
+                            hbm=False):
     from lucille_tpu.accel.pallas_isect import _pack
 
     tris, npad = _pack(scene)
     nbox, nmeta = _node_arrays(scene)
     n_nodes = scene.n_nodes
     rays, B_real, B = _pad_rays(org, dirn, tmax)
-    hbm = _use_hbm(npad)
 
     def spec(shape, index_map):
         return pl.BlockSpec(shape, index_map, memory_space=_VMEM)
@@ -532,20 +539,22 @@ def _bvh_anyhit_kernel(
 
 
 def pallas_bvh_any_hit(scene, org, dirn, tmax=None,
-                       interpret: bool | None = None):
+                       interpret: bool | None = None, hbm: bool | None = None):
     if interpret is None:
         interpret = jax.default_backend() == "cpu"
-    return _pallas_bvh_any_hit(scene, org, dirn, tmax, interpret)
+    if hbm is None:
+        hbm = _use_hbm(_scene_npad(scene))
+    return _pallas_bvh_any_hit(scene, org, dirn, tmax, interpret, hbm)
 
 
-@partial(jax.jit, static_argnames=("interpret",))
-def _pallas_bvh_any_hit(scene, org, dirn, tmax=None, interpret=False):
+@partial(jax.jit, static_argnames=("interpret", "hbm"))
+def _pallas_bvh_any_hit(scene, org, dirn, tmax=None, interpret=False,
+                        hbm=False):
     from lucille_tpu.accel.pallas_isect import _pack
 
     tris, npad = _pack(scene)
     nbox, nmeta = _node_arrays(scene)
     rays, B_real, B = _pad_rays(org, dirn, tmax)
-    hbm = _use_hbm(npad)
 
     def spec(shape, index_map):
         return pl.BlockSpec(shape, index_map, memory_space=_VMEM)
@@ -747,20 +756,24 @@ def pallas_bvh_ao_occlusion(
 
     if interpret is None:
         interpret = jax.default_backend() == "cpu"
+    hbm = _use_hbm(_scene_npad(scene))
     if os.environ.get("LUCILLE_BVH_AO", "fused") == "rebinned":
         return _pallas_bvh_ao_rebinned(
-            scene, P_off, b0, b1, b2, hit, key, ntheta, nphi, interpret
+            scene, P_off, b0, b1, b2, hit, key, ntheta, nphi, interpret, hbm
         )
     return _pallas_bvh_ao_occlusion(
-        scene, P_off, b0, b1, b2, hit, key, ntheta, nphi, interpret
+        scene, P_off, b0, b1, b2, hit, key, ntheta, nphi, interpret, hbm
     )
 
 
 def _stratified_dirs(b0, b1, b2, key, ntheta: int, nphi: int):
     """All ntheta*nphi stratified hemisphere directions for every lane:
-    (S, B, 3).  Identical sample distribution to the fused kernel: two
+    (S, B, 3).  Same sample DISTRIBUTION as the fused kernel — two
     per-lane uniforms, Cranley-Patterson-rotated per stratum by the R2
-    sequence (ambientocclusion.c:85-110 strata; qmc.c:380-428 flavor)."""
+    sequence (ambientocclusion.c:85-110 strata; qmc.c:380-428 flavor) —
+    but the per-lane uniform STREAMS differ (drawn per raster lane here,
+    per compacted lane in the fused kernel), so individual pixels differ
+    under LUCILLE_BVH_AO=rebinned while image statistics match."""
     B = b0.shape[0]
     S = ntheta * nphi
     u = jax.random.uniform(key, (2, B), dtype=jnp.float32)
@@ -789,9 +802,9 @@ def _stratified_dirs(b0, b1, b2, key, ntheta: int, nphi: int):
     )
 
 
-@partial(jax.jit, static_argnames=("ntheta", "nphi", "interpret"))
+@partial(jax.jit, static_argnames=("ntheta", "nphi", "interpret", "hbm"))
 def _pallas_bvh_ao_rebinned(
-    scene, P_off, b0, b1, b2, hit, key, ntheta, nphi, interpret
+    scene, P_off, b0, b1, b2, hit, key, ntheta, nphi, interpret, hbm=False
 ):
     from lucille_tpu.accel.pallas_ao import _spread3
 
@@ -829,8 +842,8 @@ def _pallas_bvh_ao_rebinned(
     keybits = jnp.where(live, keybits, jnp.int32(1 << 30))
     order = jnp.argsort(keybits, stable=False).astype(jnp.int32)
 
-    occ_sorted = pallas_bvh_any_hit(
-        scene, o[order], d[order], interpret=interpret
+    occ_sorted = _pallas_bvh_any_hit(
+        scene, o[order], d[order], None, interpret, hbm
     )
     occ_flat = (
         jnp.zeros((S * B,), jnp.float32)
@@ -840,9 +853,9 @@ def _pallas_bvh_ao_rebinned(
     return occ_flat.reshape(S, B).sum(axis=0) * hit.astype(jnp.float32)
 
 
-@partial(jax.jit, static_argnames=("ntheta", "nphi", "interpret"))
+@partial(jax.jit, static_argnames=("ntheta", "nphi", "interpret", "hbm"))
 def _pallas_bvh_ao_occlusion(
-    scene, P_off, b0, b1, b2, hit, key, ntheta, nphi, interpret
+    scene, P_off, b0, b1, b2, hit, key, ntheta, nphi, interpret, hbm=False
 ):
     from lucille_tpu.accel.pallas_ao import compaction_order
     from lucille_tpu.accel.pallas_isect import _pack
@@ -880,7 +893,6 @@ def _pallas_bvh_ao_occlusion(
         return pl.BlockSpec(shape, index_map, memory_space=_VMEM)
 
     smem = pl.BlockSpec(memory_space=pltpu.SMEM)
-    hbm = _use_hbm(npad)
     occ_sorted = pl.pallas_call(
         partial(_bvh_ao_kernel, n_nodes=scene.n_nodes, ntheta=ntheta,
                 nphi=nphi, hbm=hbm),

@@ -63,8 +63,7 @@ def sharded_tile_batch(mesh: Mesh, tile_kernel):
     Returned fn signature (D = mesh size):
         fn(scene, origins (D, 2) i32, keys (D,) PRNG, jitter, weights)
             -> (imgs (D, th, tw, 3),
-                aux {nrays (D,), ntests (D,), ntrav (D,),
-                     nrays_total () psum'd over the mesh})
+                aux {nrays (D,), ntests (D,), ntrav (D,)})
     """
     axis = mesh.axis_names[0]
 
@@ -78,7 +77,6 @@ def sharded_tile_batch(mesh: Mesh, tile_kernel):
                 "nrays": P(axis),
                 "ntests": P(axis),
                 "ntrav": P(axis),
-                "nrays_total": P(),
             },
         ),
         # integrator while_loops mix replicated literals with varying ray
@@ -95,9 +93,6 @@ def sharded_tile_batch(mesh: Mesh, tile_kernel):
             "nrays": nrays,
             "ntests": jnp.asarray(aux["ntests"], jnp.float32).reshape(1),
             "ntrav": jnp.asarray(aux["ntrav"], jnp.float32).reshape(1),
-            # round-total over the mesh: the MPI-gather analog, riding
-            # ICI/DCN as an XLA collective
-            "nrays_total": jax.lax.psum(nrays[0], axis),
         }
         return img[None], out_aux
 

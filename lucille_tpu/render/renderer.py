@@ -269,6 +269,13 @@ class Renderer:
         cropped = (crop_px0, crop_py0, crop_px1, crop_py1) != (0, 0, W, H)
 
         if self.frame_mode:
+            if self.mesh is not None:
+                log(
+                    LOG_WARN,
+                    "frame_mode renders on a single device; ignoring the "
+                    "%d-device mesh (use tile mode for sharded rendering)",
+                    int(self.mesh.devices.size),
+                )
             tiles = [(0, 0, 0, 0)]
             tile_w = -(-W // 8) * 8
             tile_h = -(-H // 8) * 8
