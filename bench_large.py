@@ -104,6 +104,9 @@ def measure(n: int, tile: int = 128):
         "seconds": dt,
         "build_seconds": build_s,
         "accel": r.scene.accel,
+        "ntrav": r.stats.ntraversals,
+        "ntests": r.stats.ntriangle_tests,
+        "ndma_miss": r.stats.extra.get("ndma_miss", 0),
         "vs_baseline": (rays_per_sec / base) if base else None,
     }
 

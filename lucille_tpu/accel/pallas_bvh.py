@@ -175,18 +175,23 @@ def _cache_init(tag_ref):
         jax.lax.fori_loop(0, CACHE_SLOTS, clr, 0)
 
 
-def _foreach_leaf_tile(tris_ref, cache, sem, tag_ref, first, ltiles, mt_on,
-                       *, hbm):
+def _foreach_leaf_tile(tris_ref, cache, sem, tag_ref, pend_ref, cnt_ref,
+                       first, ltiles, mt_on, *, hbm):
     """Run mt_on(cols, base) for every 128-triangle tile of a leaf.
 
     VMEM-resident scenes read tiles straight out of tris_ref.  HBM scenes
     (npad > MAX_TRIS_VMEM — a 1M-triangle scene is 64 B/tri = 80 MB,
     five times the ~16 MB VMEM) go through a direct-mapped VMEM tile
-    cache with SMEM tags: slot = tile % CACHE_SLOTS, a tag miss DMAs the
-    (16, TC) tile from HBM.  Blocks are Morton-sorted and strata revisit
-    the same leaves, so the steady-state hit rate is high — the cache is
-    the TPU analog of the reference BVH's mailboxing (render.h:40-47
-    counts nmailboxhits)."""
+    cache with SMEM tags: slot = tile % CACHE_SLOTS.  Misses are handled
+    asynchronously in two passes: pass 1 *issues* the DMA for every
+    missing tile of the leaf back-to-back (per-tile semaphores), pass 2
+    waits each tile just before its MT test — so the k+1..n DMAs overlap
+    the DMA wait and VPU test of tile k instead of serializing
+    (pallas guide "Patterns: Double Buffering").  Blocks are
+    Morton-sorted and strata revisit the same leaves, so the steady-state
+    hit rate is high — the cache is the TPU analog of the reference
+    BVH's mailboxing (render.h:40-47 counts nmailboxhits); cnt_ref[0]
+    counts misses so the hit rate is measurable, not assumed."""
     rows = range(9)
     if not hbm:
 
@@ -198,21 +203,37 @@ def _foreach_leaf_tile(tris_ref, cache, sem, tag_ref, first, ltiles, mt_on,
         jax.lax.fori_loop(0, ltiles, body, 0)
         return
 
+    def tile_dma(k, tile, slot):
+        return pltpu.make_async_copy(
+            tris_ref.at[:, pl.ds(tile * TC, TC)],
+            cache.at[pl.ds(slot * 16, 16), :],  # 16 cache rows per slot
+            sem.at[k],
+        )
+
+    def issue(k, _):
+        tile = first + k
+        slot = jax.lax.rem(tile, jnp.int32(CACHE_SLOTS))
+        miss = tag_ref[slot] != tile + 1  # 0 = empty (see _cache_init)
+        pend_ref[k] = miss.astype(jnp.int32)
+
+        @pl.when(miss)
+        def _():
+            tile_dma(k, tile, slot).start()
+            tag_ref[slot] = tile + 1
+            cnt_ref[0] = cnt_ref[0] + 1
+
+        return 0
+
+    jax.lax.fori_loop(0, ltiles, issue, 0)
+
     def body(k, _):
         tile = first + k
         slot = jax.lax.rem(tile, jnp.int32(CACHE_SLOTS))
-        row0 = slot * 16  # cache is (CACHE_SLOTS*16, TC): 16 rows per slot
+        row0 = slot * 16
 
-        @pl.when(tag_ref[slot] != tile + 1)  # 0 = empty (see _cache_init)
-        def _miss():
-            cp = pltpu.make_async_copy(
-                tris_ref.at[:, pl.ds(tile * TC, TC)],
-                cache.at[pl.ds(row0, 16), :],
-                sem,
-            )
-            cp.start()
-            cp.wait()
-            tag_ref[slot] = tile + 1
+        @pl.when(pend_ref[k] == 1)
+        def _():
+            tile_dma(k, tile, slot).wait()
 
         cols = [
             cache[pl.ds(row0 + r, 1), :].reshape(TC)[:, None] for r in rows
@@ -240,14 +261,18 @@ def _tris_spec(hbm: bool, npad: int):
     return pl.BlockSpec((16, npad), lambda i: (0, 0), memory_space=_VMEM)
 
 
-def _hbm_scratch(hbm: bool):
-    """Extra scratch for the HBM streaming path (direct-mapped tile
-    cache + tags + DMA semaphore); empty when VMEM-resident."""
+def _hbm_scratch(hbm: bool, lt_max: int = 1):
+    """Extra scratch for the HBM streaming path: direct-mapped tile
+    cache, per-tile DMA semaphores + pending flags (one per leaf tile,
+    so a whole leaf's misses can be in flight at once), tags, and the
+    miss counter; empty when VMEM-resident."""
     if hbm:
         return [
             pltpu.VMEM((CACHE_SLOTS * 16, TC), jnp.float32),
-            pltpu.SemaphoreType.DMA(()),
+            pltpu.SemaphoreType.DMA((lt_max,)),
             pltpu.SMEM((CACHE_SLOTS,), jnp.int32),
+            pltpu.SMEM((lt_max,), jnp.int32),
+            pltpu.SMEM((4,), jnp.int32),
         ]
     return []
 
@@ -271,9 +296,10 @@ def _bvh_closest_kernel(
     n_nodes,
     hbm=False,
 ):
-    cache, sem, tag = scratch if hbm else (None, None, None)
+    cache, sem, tag, pend, cnt = scratch if hbm else (None,) * 5
     if hbm:
         _cache_init(tag)
+        cnt[0] = 0  # per-block DMA miss counter
     ox = rays_ref[0:1, :]
     oy = rays_ref[1:2, :]
     oz = rays_ref[2:3, :]
@@ -349,8 +375,8 @@ def _bvh_closest_kernel(
         @pl.when(live & leaf)
         def _leaf():
             _foreach_leaf_tile(
-                tris_ref, cache, sem, tag, nmeta_ref[1, node], ltiles,
-                mt_on, hbm=hbm,
+                tris_ref, cache, sem, tag, pend, cnt, nmeta_ref[1, node],
+                ltiles, mt_on, hbm=hbm,
             )
 
         nxt = jnp.where(live & jnp.logical_not(leaf), node + 1,
@@ -366,6 +392,8 @@ def _bvh_closest_kernel(
     )
     stat_ref[0:1, :] = jnp.full(stat_ref[0:1, :].shape, nvis, jnp.int32)
     stat_ref[1:2, :] = jnp.full(stat_ref[1:2, :].shape, ntile, jnp.int32)
+    nmiss = cnt[0] if hbm else jnp.int32(0)
+    stat_ref[2:3, :] = jnp.full(stat_ref[2:3, :].shape, nmiss, jnp.int32)
 
 
 def _scene_npad(scene) -> int:
@@ -434,15 +462,15 @@ def _pallas_bvh_closest_hit(scene, org, dirn, tmax=None, interpret=False,
             smem,
             _tris_spec(hbm, npad),
         ],
-        out_specs=[out_spec] * 4 + [spec((2, RAY_BLOCK), lambda i: (0, i))],
+        out_specs=[out_spec] * 4 + [spec((3, RAY_BLOCK), lambda i: (0, i))],
         out_shape=[
             jax.ShapeDtypeStruct((1, B), jnp.float32),
             jax.ShapeDtypeStruct((1, B), jnp.float32),
             jax.ShapeDtypeStruct((1, B), jnp.float32),
             jax.ShapeDtypeStruct((1, B), jnp.int32),
-            jax.ShapeDtypeStruct((2, B), jnp.int32),
+            jax.ShapeDtypeStruct((3, B), jnp.int32),
         ],
-        scratch_shapes=_hbm_scratch(hbm),
+        scratch_shapes=_hbm_scratch(hbm, max(1, scene.leaf_tiles_max)),
         interpret=interpret,
     )(rays, nbox, nmeta, tris)
 
@@ -456,6 +484,7 @@ def _pallas_bvh_closest_hit(scene, org, dirn, tmax=None, interpret=False,
         "ntests": jnp.sum(stat[1, ::RAY_BLOCK].astype(jnp.float32))
         * (TC * RAY_BLOCK),
         "ntrav": jnp.sum(stat[0, ::RAY_BLOCK].astype(jnp.float32)),
+        "nmiss": jnp.sum(stat[2, ::RAY_BLOCK].astype(jnp.float32)),
     }
 
 
@@ -468,7 +497,7 @@ def _bvh_anyhit_kernel(
     rays_ref, nbox_ref, nmeta_ref, tris_ref, occ_ref, *scratch,
     n_nodes, hbm=False,
 ):
-    cache, sem, tag = scratch if hbm else (None, None, None)
+    cache, sem, tag, pend, cnt = scratch if hbm else (None,) * 5
     if hbm:
         _cache_init(tag)
     ox = rays_ref[0:1, :]
@@ -528,8 +557,8 @@ def _bvh_anyhit_kernel(
         @pl.when(live & leaf)
         def _leaf():
             _foreach_leaf_tile(
-                tris_ref, cache, sem, tag, nmeta_ref[1, node], ltiles,
-                mt_on, hbm=hbm,
+                tris_ref, cache, sem, tag, pend, cnt, nmeta_ref[1, node],
+                ltiles, mt_on, hbm=hbm,
             )
 
         return jnp.where(live & jnp.logical_not(leaf), node + 1,
@@ -571,7 +600,7 @@ def _pallas_bvh_any_hit(scene, org, dirn, tmax=None, interpret=False,
         ],
         out_specs=spec((1, RAY_BLOCK), lambda i: (0, i)),
         out_shape=jax.ShapeDtypeStruct((1, B), jnp.float32),
-        scratch_shapes=_hbm_scratch(hbm),
+        scratch_shapes=_hbm_scratch(hbm, max(1, scene.leaf_tiles_max)),
         interpret=interpret,
     )(rays, nbox, nmeta, tris)
     return occ[0, :B_real] > 0.5
@@ -590,6 +619,7 @@ def _bvh_ao_kernel(
     nmeta_ref,
     tris_ref,
     occ_ref,
+    stat_ref,
     cur_ref,
     *scratch,
     n_nodes,
@@ -597,9 +627,10 @@ def _bvh_ao_kernel(
     nphi,
     hbm=False,
 ):
-    cache, sem, tag = scratch if hbm else (None, None, None)
+    cache, sem, tag, pend, cnt = scratch if hbm else (None,) * 5
     if hbm:
         _cache_init(tag)
+        cnt[0] = 0  # per-block DMA miss counter
     """Occlusion counts for one compacted ray block.
 
     Per stratum: generate the stratified hemisphere direction for every
@@ -612,6 +643,7 @@ def _bvh_ao_kernel(
     rb = rays_ref.shape[1]
 
     occ_ref[:, :] = jnp.zeros((1, rb), jnp.float32)
+    stat_ref[:, :] = jnp.zeros(stat_ref.shape, jnp.int32)
     active = pl.program_id(0) * rb < nact_ref[0]
 
     @pl.when(active)
@@ -632,7 +664,7 @@ def _bvh_ao_kernel(
         u0_lane = jit_ref[0:1, :]
         u1_lane = jit_ref[1:2, :]
 
-        def stratum(s, _):
+        def stratum(s, carry):
             sf = s.astype(jnp.float32)
             sh0 = sf * _R2_A1
             sh1 = sf * _R2_A2
@@ -688,10 +720,11 @@ def _bvh_ao_kernel(
                     cur_ref[0:1, :], any1.astype(jnp.float32)
                 )
 
-            def tcond(node):
-                return node < n_nodes
+            def tcond(c):
+                return c[0] < n_nodes
 
-            def tbody(node):
+            def tbody(c):
+                node, nvis, ntile = c
                 tn, tf = _slab(node, nbox_ref, ox, oy, oz, ivx, ivy, ivz)
                 reach = (
                     (tn <= tf)
@@ -706,21 +739,31 @@ def _bvh_ao_kernel(
                 @pl.when(live & leaf)
                 def _leaf():
                     _foreach_leaf_tile(
-                        tris_ref, cache, sem, tag, nmeta_ref[1, node],
-                        ltiles, mt_on, hbm=hbm,
+                        tris_ref, cache, sem, tag, pend, cnt,
+                        nmeta_ref[1, node], ltiles, mt_on, hbm=hbm,
                     )
 
-                return jnp.where(
+                nxt = jnp.where(
                     live & jnp.logical_not(leaf), node + 1,
                     nmeta_ref[0, node]
                 )
+                return (nxt, nvis + 1,
+                        ntile + jnp.where(live & leaf, ltiles, 0))
 
-            jax.lax.while_loop(tcond, tbody, jnp.int32(0))
+            _, nvis, ntile = jax.lax.while_loop(
+                tcond, tbody, (jnp.int32(0), carry[0], carry[1])
+            )
             occ_ref[:, :] = occ_ref[0:1, :] + cur_ref[0:1, :]
-            return 0
+            return (nvis, ntile)
 
-        jax.lax.fori_loop(0, nsamples, stratum, 0)
+        nvis, ntile = jax.lax.fori_loop(
+            0, nsamples, stratum, (jnp.int32(0), jnp.int32(0))
+        )
         occ_ref[:, :] = occ_ref[0:1, :] * hit_row
+        stat_ref[0:1, :] = jnp.full(stat_ref[0:1, :].shape, nvis, jnp.int32)
+        stat_ref[1:2, :] = jnp.full(stat_ref[1:2, :].shape, ntile, jnp.int32)
+        nmiss = cnt[0] if hbm else jnp.int32(0)
+        stat_ref[2:3, :] = jnp.full(stat_ref[2:3, :].shape, nmiss, jnp.int32)
 
 
 def pallas_bvh_ao_occlusion(
@@ -736,7 +779,9 @@ def pallas_bvh_ao_occlusion(
     interpret: bool | None = None,
 ):
     """BVH-traversed counterpart of pallas_ao.pallas_ao_occlusion: returns
-    (B,) occlusion counts for ntheta*nphi stratified hemisphere rays.
+    ((B,) occlusion counts for ntheta*nphi stratified hemisphere rays,
+    (3,) f32 stats [node visits, tile tests, DMA misses] summed over
+    blocks — the reference's traversal/mailbox counters, render.h:40-47).
 
     Two shapes, selectable with LUCILLE_BVH_AO=fused|rebinned:
 
@@ -758,9 +803,10 @@ def pallas_bvh_ao_occlusion(
         interpret = jax.default_backend() == "cpu"
     hbm = _use_hbm(_scene_npad(scene))
     if os.environ.get("LUCILLE_BVH_AO", "fused") == "rebinned":
-        return _pallas_bvh_ao_rebinned(
+        occ = _pallas_bvh_ao_rebinned(
             scene, P_off, b0, b1, b2, hit, key, ntheta, nphi, interpret, hbm
         )
+        return occ, jnp.zeros((3,), jnp.float32)
     return _pallas_bvh_ao_occlusion(
         scene, P_off, b0, b1, b2, hit, key, ntheta, nphi, interpret, hbm
     )
@@ -893,7 +939,7 @@ def _pallas_bvh_ao_occlusion(
         return pl.BlockSpec(shape, index_map, memory_space=_VMEM)
 
     smem = pl.BlockSpec(memory_space=pltpu.SMEM)
-    occ_sorted = pl.pallas_call(
+    occ_sorted, stat = pl.pallas_call(
         partial(_bvh_ao_kernel, n_nodes=scene.n_nodes, ntheta=ntheta,
                 nphi=nphi, hbm=hbm),
         grid=(Bpad // RAY_BLOCK,),
@@ -905,11 +951,18 @@ def _pallas_bvh_ao_occlusion(
             smem,
             _tris_spec(hbm, npad),
         ],
-        out_specs=spec((1, RAY_BLOCK), lambda i: (0, i)),
-        out_shape=jax.ShapeDtypeStruct((1, Bpad), jnp.float32),
+        out_specs=[
+            spec((1, RAY_BLOCK), lambda i: (0, i)),
+            spec((3, RAY_BLOCK), lambda i: (0, i)),
+        ],
+        out_shape=[
+            jax.ShapeDtypeStruct((1, Bpad), jnp.float32),
+            jax.ShapeDtypeStruct((3, Bpad), jnp.int32),
+        ],
         scratch_shapes=[pltpu.VMEM((1, RAY_BLOCK), jnp.float32)]
-        + _hbm_scratch(hbm),
+        + _hbm_scratch(hbm, max(1, scene.leaf_tiles_max)),
         interpret=interpret,
     )(nact, rays, jitter, nbox, nmeta, tris)
     occ = jnp.zeros((Bpad,), jnp.float32).at[order].set(occ_sorted[0])
-    return occ[:B]
+    stats = stat[:, ::RAY_BLOCK].astype(jnp.float32).sum(axis=1)
+    return occ[:B], stats  # stats = (nvis, ntile, nmiss) block sums

@@ -77,6 +77,7 @@ def sharded_tile_batch(mesh: Mesh, tile_kernel):
                 "nrays": P(axis),
                 "ntests": P(axis),
                 "ntrav": P(axis),
+                "nmiss": P(axis),
             },
         ),
         # integrator while_loops mix replicated literals with varying ray
@@ -93,6 +94,7 @@ def sharded_tile_batch(mesh: Mesh, tile_kernel):
             "nrays": nrays,
             "ntests": jnp.asarray(aux["ntests"], jnp.float32).reshape(1),
             "ntrav": jnp.asarray(aux["ntrav"], jnp.float32).reshape(1),
+            "nmiss": jnp.asarray(aux.get("nmiss", 0), jnp.float32).reshape(1),
         }
         return img[None], out_aux
 

@@ -113,6 +113,7 @@ def build_tile_kernel(
         return img, {
             "ntests": jnp.asarray(aux.get("ntests", 0), jnp.float32),
             "ntrav": jnp.asarray(aux.get("ntrav", 0), jnp.float32),
+            "nmiss": jnp.asarray(aux.get("nmiss", 0), jnp.float32),
             "nrays": nrays,
             "hit": hitmask.any(axis=2),
         }
@@ -144,6 +145,7 @@ class _Round:
             "nrays": aux["nrays"][slot],
             "ntests": aux["ntests"][slot],
             "ntrav": aux["ntrav"][slot],
+            "nmiss": aux["nmiss"][slot],
         }
 
 
@@ -333,6 +335,7 @@ class Renderer:
         timer.start("Render frame")
         ntests_total = 0
         ntrav_total = 0
+        nmiss_total = 0
         # dispatch phase: JAX execution is async — enqueue every tile
         # kernel before the first blocking host transfer, so device
         # compute overlaps host-side collection (the TPU link is remote;
@@ -405,6 +408,7 @@ class Renderer:
             self.stats.add(nrays=int(aux["nrays"]))
             ntests_total += int(aux["ntests"])
             ntrav_total += int(aux["ntrav"])
+            nmiss_total += int(aux.get("nmiss", 0))
             done[ti] = True
             if checkpoint:
                 _save_ckpt()
@@ -416,6 +420,12 @@ class Renderer:
             os.remove(checkpoint)  # frame completed; nothing to resume
         self.stats.render_seconds += timer.end("Render frame")
         self.stats.add(ntriangle_tests=ntests_total, ntraversals=ntrav_total)
+        if nmiss_total:
+            # HBM tile-cache misses (the reference's mailbox-hit analog,
+            # render.h:40-47)
+            self.stats.extra["ndma_miss"] = (
+                self.stats.extra.get("ndma_miss", 0) + nmiss_total
+            )
         log(
             LOG_INFO,
             "frame done: %d tiles, %.2f Mrays/s",

@@ -208,8 +208,10 @@ def compile_scene(
         node_skip = nmeta[0]
         node_first = nmeta[1]
         node_count = nmeta[2]
+        leaf_tiles_max = int(nmeta[2].max()) if n_nodes else 1
         accel = "pbvh"
     else:
+        leaf_tiles_max = 1
         node_bbmin = np.zeros((1, 3))
         node_bbmax = np.zeros((1, 3))
         node_skip = np.ones(1, dtype=np.int32)
@@ -341,4 +343,5 @@ def compile_scene(
         n_nodes=n_nodes,
         leaf_size=leaf_size,
         accel=accel,
+        leaf_tiles_max=leaf_tiles_max,
     )

@@ -117,13 +117,22 @@ def ao_radiance(
     if scene.accel == "pbvh" and scene.n_nodes > 0:
         # large scenes: fused gather with per-(block, stratum) tile-BVH
         # traversal (pallas_bvh.py) — the production accelerator
+        from lucille_tpu.accel.pallas_bvh import RAY_BLOCK, TC
         from lucille_tpu.accel.pallas_bvh import pallas_bvh_ao_occlusion
 
-        occ = pallas_bvh_ao_occlusion(
+        occ, gstats = pallas_bvh_ao_occlusion(
             scene, P_off, b0, b1, b2, hit, key, ntheta, nphi
         )
+        # gather-ray traversal/test/mailbox counters join the eye-ray
+        # ones (the reference counts BOTH, raytrace.c:43 + render.h:40-47)
+        extra = {
+            "ntrav": gstats[0],
+            "ntests": gstats[1] * (TC * RAY_BLOCK),
+            "nmiss": gstats[2],
+        }
         return _finish(
-            scene, res, hit, occ, nsamples, background, textures, B
+            scene, res, hit, occ, nsamples, background, textures, B,
+            extra=extra,
         )
 
     strata = jnp.arange(nsamples, dtype=jnp.int32)
@@ -151,9 +160,11 @@ def ao_radiance(
     return _finish(scene, res, hit, occ, nsamples, background, textures, B)
 
 
-def _finish(scene, res, hit, occ, nsamples, background, textures, B):
+def _finish(scene, res, hit, occ, nsamples, background, textures, B,
+            extra=None):
     """Shared epilogue: occlusion count -> radiance + texture modulation
-    + statistics (ambientocclusion.c:135-150, 393-400)."""
+    + statistics (ambientocclusion.c:135-150, 393-400).  `extra` adds
+    gather-phase counters (ntrav/ntests/nmiss) to the eye-ray ones."""
     lo = (nsamples - occ) / nsamples  # m = 1.0 (ambientocclusion.c:146)
     radiance = jnp.where(hit, lo, background)[..., None] * jnp.ones(
         (1, 3), jnp.float32
@@ -175,13 +186,15 @@ def _finish(scene, res, hit, occ, nsamples, background, textures, B):
         has_tex = hit & (tex_id >= 0)
         radiance = radiance * jnp.where(has_tex[..., None], texcol, 1.0)
 
+    extra = extra or {}
     aux = {
         "hit": hit,
         # the reference counts a ray per ri_raytrace call (raytrace.c:43):
         # eye rays for every lane, hemisphere rays only where the eye ray hit
         "nrays": B + jnp.sum(hit.astype(jnp.int32)) * nsamples,
-        "ntests": res["ntests"],
-        "ntrav": res["ntrav"],
+        "ntests": res["ntests"] + extra.get("ntests", 0),
+        "ntrav": res["ntrav"] + extra.get("ntrav", 0),
+        "nmiss": extra.get("nmiss", 0),
         "t": res["t"],
     }
     return radiance, aux

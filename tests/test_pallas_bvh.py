@@ -110,7 +110,7 @@ class TestAOKernelParity:
 
         ntheta = nphi = 4
         key = jax.random.key(3)
-        occ = pallas_bvh_ao_occlusion(
+        occ, _stats = pallas_bvh_ao_occlusion(
             sc, P, b0, b1, b2, hit, key, ntheta, nphi
         )
 
