@@ -1,8 +1,9 @@
 """Image load/save dispatch by extension.
 
 Equivalent capability to the reference's image_loader.c:37-48 (extension
-dispatch over .hdr/.tex/.jpg).  JPEG/PNG go through PIL when available
-(the reference links libjpeg); .pfm is a portable float fallback.
+dispatch over .hdr/.tex/.jpg): .hdr/.rgbe/.pic via the RGBE codec, .tex
+via the blocked-mipmap codec (imageio/tex.py), .exr and .pfm built-in.
+JPEG/PNG go through PIL when available (the reference links libjpeg).
 """
 
 from __future__ import annotations
@@ -46,6 +47,10 @@ def load_image(path) -> np.ndarray:
         return read_hdr(path)
     if ext == ".pfm":
         return _read_pfm(path)
+    if ext == ".tex":
+        from lucille_tpu.imageio.tex import read_tex
+
+        return read_tex(path)
     if ext == ".exr":
         from lucille_tpu.imageio.exr import read_exr
 
@@ -66,6 +71,10 @@ def save_image(path, image: np.ndarray) -> None:
         write_hdr(path, image)
     elif ext == ".pfm":
         _write_pfm(path, image)
+    elif ext == ".tex":
+        from lucille_tpu.imageio.tex import write_tex
+
+        write_tex(path, image)
     elif ext == ".exr":
         from lucille_tpu.imageio.exr import write_exr
 
