@@ -15,6 +15,17 @@ import numpy as np
 from lucille_tpu.imageio.rgbe import read_hdr, write_hdr
 
 
+def find_file(name, searchpaths=None):
+    """Resolve a file name against option searchpaths
+    (ri_option_find_file, option.c capability).  Returns a Path or None."""
+    for sp in searchpaths or ["."]:
+        cand = Path(sp) / name
+        if cand.exists():
+            return cand
+    p = Path(name)
+    return p if p.exists() else None
+
+
 def _read_pfm(path) -> np.ndarray:
     with open(path, "rb") as f:
         header = f.readline().strip()

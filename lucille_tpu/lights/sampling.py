@@ -64,7 +64,12 @@ def light_contribution(scene, light, P, N, key, nsamples: int = 1):
     col = jnp.asarray(light.color, jnp.float32) * light.intensity
 
     if light.type in (LIGHT_DISTANT, LIGHT_SUN):
-        wi = -jnp.asarray(light.direction, jnp.float32)
+        # distant lights store the direction they SHINE (to - from), so
+        # wi = -direction; sunlights store sun_dir, the direction TOWARD
+        # the sun (lightsource.c:155-158), so wi = +direction — the AO
+        # sunsky gather traces along +direction (ambientocclusion.c:181)
+        sgn = 1.0 if light.type == LIGHT_SUN else -1.0
+        wi = sgn * jnp.asarray(light.direction, jnp.float32)
         wi = wi / jnp.maximum(jnp.linalg.norm(wi), 1e-20)
         wi = jnp.broadcast_to(wi, P.shape)
         cos = jnp.maximum(jnp.sum(N * wi, axis=-1), 0.0)
@@ -82,6 +87,11 @@ def light_contribution(scene, light, P, N, key, nsamples: int = 1):
             scene, P + N * scene.eps, wi, tmax=r - 2.0 * scene.eps
         ).astype(jnp.float32)
         return (cos * vis / r2)[:, None] * col
+
+    if light.type in (LIGHT_DOME, LIGHT_IBL) and light.env is not None:
+        # textured environment light: route through the sampler the RIB
+        # selected (lightsource.c:127-142 tokens -> ibl.c:53-540)
+        return _env_contribution(scene, light, P, N, key, nsamples)
 
     if light.type in (LIGHT_DOME, LIGHT_SUNSKY, LIGHT_IBL):
         # cosine-weighted hemisphere gather (ibl.c:53 cosweight sampler)
@@ -130,6 +140,45 @@ def light_contribution(scene, light, P, N, key, nsamples: int = 1):
     return jnp.zeros((B, 3), jnp.float32)
 
 
+def _env_contribution(scene, light, P, N, key, nsamples: int):
+    """Incident irradiance from a textured dome/IBL light through the
+    selected sampler (ibl.c:53-540; light->iblsampler, light.h:19-23).
+    Every sampler fetches the light's actual environment texture per
+    gathered direction (texture.c:238)."""
+    import math
+
+    from lucille_tpu.lights import ibl
+
+    env = light.env
+    col = jnp.asarray(light.color, jnp.float32) * light.intensity
+    sampler = light.ibl_sampler or "cosweight"
+
+    if sampler == "importance":
+        e = ibl.sample_env_importance(
+            env.importance_table, scene, P, N, key, nsamples=nsamples
+        )
+        return e * col[None, :]
+    if sampler == "stratified":
+        n = max(1, int(math.sqrt(nsamples)))
+        e = ibl.sample_env_stratified(
+            env.fetch, scene, P, N, key, ntheta=n, nphi=n
+        )
+        return e * col[None, :]
+    if sampler == "structured":
+        sis = env.file_sis or env.sis_samples(64)
+        dirs, rgb = sis
+        if len(dirs) == 0:
+            return jnp.zeros((P.shape[0], 3), jnp.float32)
+        e = ibl.sample_env_structured(dirs, rgb, scene, P, N)
+        return e * col[None, :]
+    if sampler == "bruteforce":
+        e = ibl.sample_env_bruteforce(env.importance_table, scene, P, N)
+        return e * col[None, :]
+    # default: cosweight (ibl.c:53)
+    e = ibl.sample_env_cosweight(env.fetch, scene, P, N, key, nsamples=nsamples)
+    return e * col[None, :]
+
+
 def light_wi_cl(scene, light, P, N, key, index: int = 0):
     """One (direction, shadowed color) sample for a light — the binding
     behind RSL `illuminance` blocks (L and Cl).  Returns (None, None) for
@@ -141,7 +190,8 @@ def light_wi_cl(scene, light, P, N, key, index: int = 0):
     k = jax.random.fold_in(key, 7000 + index)
 
     if light.type in (LIGHT_DISTANT, LIGHT_SUN):
-        wi = -jnp.asarray(light.direction, jnp.float32)
+        sgn = 1.0 if light.type == LIGHT_SUN else -1.0
+        wi = sgn * jnp.asarray(light.direction, jnp.float32)
         wi = jnp.broadcast_to(wi / jnp.maximum(jnp.linalg.norm(wi), 1e-20), P.shape)
         vis = _shadow(scene, P, N, wi)
         return wi, vis[:, None] * col
@@ -177,12 +227,28 @@ def light_wi_cl(scene, light, P, N, key, index: int = 0):
         if light.type == LIGHT_SUNSKY and light.sunsky is not None:
             d_sky = jnp.stack([wi[:, 0], wi[:, 2], wi[:, 1]], axis=-1)
             li = light.sunsky.sky_rgb(d_sky)
+        elif light.env is not None:
+            li = light.env.fetch(wi) * col[None, :]  # texture.c:238
         else:
             li = jnp.broadcast_to(col, P.shape)
         # Cl scaled so that Cl * (L.N) integrates like the cosine gather
         cos = jnp.maximum(jnp.sum(N * wi, axis=-1), 1e-6)
         return wi, vis[:, None] * li * (jnp.pi / cos)[:, None] / jnp.pi
     return None, None
+
+
+def shadow_rays_per_hit(lights, nsamples: int = 4) -> int:
+    """Shadow rays direct_diffuse + direct_specular trace per shaded hit
+    — for the raytrace.c:96-style ray accounting (the reference's
+    diffuse()/specular() shadow rays go through ri_raytrace and count)."""
+    n = 0
+    for light in lights or ():
+        n += nsamples if light.type in (
+            LIGHT_DOME, LIGHT_AREA, LIGHT_SUNSKY, LIGHT_IBL
+        ) else 1
+        if light.type in (LIGHT_DISTANT, LIGHT_SUN, LIGHT_POINT):
+            n += 1  # direct_specular's highlight shadow ray
+    return n
 
 
 def direct_diffuse(scene, lights: LightTables, P, N, key, nsamples: int = 4):
@@ -204,7 +270,8 @@ def direct_specular(scene, lights: LightTables, P, N, V, roughness, key):
     inv_r = 1.0 / jnp.maximum(jnp.asarray(roughness, jnp.float32), 1e-3)
     for i, light in enumerate(lights):
         if light.type in (LIGHT_DISTANT, LIGHT_SUN):
-            wi = -jnp.asarray(light.direction, jnp.float32)
+            sgn = 1.0 if light.type == LIGHT_SUN else -1.0
+            wi = sgn * jnp.asarray(light.direction, jnp.float32)
             wi = jnp.broadcast_to(wi / jnp.maximum(jnp.linalg.norm(wi), 1e-20), P.shape)
             tmax = None
         elif light.type == LIGHT_POINT:

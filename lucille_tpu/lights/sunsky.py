@@ -48,13 +48,17 @@ class PreethamSunSky:
     solar time; `standard_meridian` in degrees.
     """
 
-    latitude: float = 35.0
-    longitude: float = 135.0
+    # defaults = the reference's (Tokyo, Jan 20, 10:30;
+    # lightsource.c:293-300); standard_meridian in DEGREES (= the RIB
+    # token's timezone x 15, ri_sunsky_init sunsky.c:207)
+    latitude: float = 35.39
+    longitude: float = 139.44
     standard_meridian: float = 135.0
-    month: float = 7.0
+    month: float = 1.0
     day: float = 20.0
-    hour: float = 15.0
+    hour: float = 10.5
     turbidity: float = 2.0
+    julian_day: float | None = None  # overrides month/day when given
     overcast: float = 0.0
     sun_scale: float = 1.0
 
@@ -62,28 +66,34 @@ class PreethamSunSky:
         self._compute_sun_position()
         self._compute_distribution()
 
-    # -- solar position (Preetham appendix / sunsky.c:184) ---------------
+    # -- solar position (init_sun_theta_phi, sunsky.c:40-75) -------------
 
     def _compute_sun_position(self):
-        day_of_year = (self.month - 1.0) * 30.4 + self.day
+        jd = (
+            float(self.julian_day)
+            if self.julian_day is not None
+            else (self.month - 1.0) * 30.4 + self.day
+        )
         solar_time = (
             self.hour
-            + 0.170 * math.sin(4.0 * math.pi * (day_of_year - 80.0) / 373.0)
-            - 0.129 * math.sin(2.0 * math.pi * (day_of_year - 8.0) / 355.0)
+            + 0.170 * math.sin(4.0 * math.pi * (jd - 80.0) / 373.0)
+            - 0.129 * math.sin(2.0 * math.pi * (jd - 8.0) / 355.0)
             + (self.standard_meridian - self.longitude) / 15.0
         )
-        declination = 0.4093 * math.sin(2.0 * math.pi * (day_of_year - 81.0) / 368.0)
+        declination = 0.4093 * math.sin(2.0 * math.pi * (jd - 81.0) / 368.0)
         lat = math.radians(self.latitude)
         h = math.pi * solar_time / 12.0
         theta_s = math.pi / 2.0 - math.asin(
             math.sin(lat) * math.sin(declination)
             - math.cos(lat) * math.cos(declination) * math.cos(h)
         )
-        phi_s = math.atan2(
-            -math.cos(declination) * math.sin(h),
+        # azimuth exactly as the reference computes it (sunsky.c:66-73)
+        opp = -math.cos(declination) * math.sin(h)
+        adj = -(
             math.cos(lat) * math.sin(declination)
-            - math.sin(lat) * math.cos(declination) * math.cos(h),
+            + math.sin(lat) * math.cos(declination) * math.cos(h)
         )
+        phi_s = -math.atan2(opp, adj)
         self.theta_s = theta_s
         self.phi_s = phi_s
 
@@ -172,28 +182,41 @@ class PreethamSunSky:
         x = self.xz * ratio(self.Ax, self.Bx, self.Cx, self.Dx, self.Ex)
         y = self.yz * ratio(self.Ay, self.By, self.Cy, self.Dy, self.Ey)
 
-        # xyY -> XYZ -> RGB (specrend-style colorimetry, sunsky.c:330-418)
+        # xyY -> XYZ -> RGB (specrend-style colorimetry, sunsky.c:330-418);
+        # Y converts kcd/m^2 -> cd/m^2 exactly like the reference
+        # (zenith_Y *= 1000, sunsky.c:254) so absolute sky radiance
+        # matches CPU-lucille's HDR output scale
         y_safe = xp.maximum(y, 1e-5)
-        X = x / y_safe * Y
-        Z = (1.0 - x - y) / y_safe * Y
-        XYZ = xp.stack([X, Y, Z], axis=-1)
+        Ycd = Y * 1000.0
+        X = x / y_safe * Ycd
+        Z = (1.0 - x - y) / y_safe * Ycd
+        XYZ = xp.stack([X, Ycd, Z], axis=-1)
         rgb = XYZ @ xp.asarray(_XYZ2RGB)  # row-vector form: _XYZ2RGB is M^T
-        rgb = xp.maximum(rgb, 0.0) * 0.02  # Kcd/m^2 -> display-ish scale
+        rgb = xp.maximum(rgb, 0.0)
         above = (cz > 0.0)[..., None]
         return xp.where(above, rgb, xp.zeros_like(rgb))
 
-    def sunlight_rgb(self) -> np.ndarray:
-        """Approximate sun disc radiance as RGB (ri_sunsky_get_sunlight_rgb).
+    # RADIANCE amplitude calibrated against the reference's spectral sun
+    # (compute_attenuated_sunlight -> xyz_to_rgb): ratio measured 5.0e5 -
+    # 5.2e5 across times of day / turbidities (4.0e5 at very low sun)
+    _SUN_AMPLITUDE = 5.1e5
 
-        Spectral direct-beam attenuation condensed to an RGB heuristic:
-        Rayleigh + aerosol optical depth at three representative
-        wavelengths, scaled by air mass.
+    def sunlight_rgb(self) -> np.ndarray:
+        """Sun disc radiance as RGB (ri_sunsky_get_sunlight_rgb).
+
+        Spectral direct-beam attenuation condensed to a 3-band heuristic
+        (Rayleigh + aerosol optical depth at representative wavelengths,
+        scaled by air mass) with amplitude calibrated to the reference's
+        spectral pipeline; zero below the horizon (sunsky.c:225-230).
+        Chromaticity matches the spectral path within ~7%; magnitude
+        within ~25% at extreme sun angles (test_sunsky_golden.py).
         """
+        if self.theta_s >= 0.5 * math.pi:
+            return np.zeros(3) * self.sun_scale
         th = min(self.theta_s, math.radians(89.9))
         m = 1.0 / (math.cos(th) + 0.15 * (93.885 - math.degrees(th)) ** -1.253)
         beta = 0.04608 * self.turbidity - 0.04586
         wavelengths = np.array([0.610, 0.550, 0.470])  # um, R/G/B-ish
         tau_r = np.exp(-m * 0.008735 * wavelengths**-4.08)
         tau_a = np.exp(-m * beta * wavelengths**-1.3)
-        rgb = tau_r * tau_a * self.sun_scale
-        return rgb * max(math.cos(th), 0.0)
+        return tau_r * tau_a * (self.sun_scale * self._SUN_AMPLITUDE)

@@ -36,15 +36,16 @@ class LightEntry:
     # permutes the scene arrays, so scene indices would go stale):
     # dict(v0, e1, e2, area_cdf, total_area) of numpy arrays, or None
     tris: Any = None
-    # IBL/sunsky: texture id in the atlas, sampler name
+    # IBL/sunsky: env map + sampler selection (light.h:44-53)
     texture_id: int = -1
     ibl_sampler: str = "cosweight"
     sunsky: Any = None
+    env: Any = None  # lights.envmap.EnvMap or None
 
     def __hash__(self):  # static jit argument
         return hash((self.type, self.position, self.direction, self.color,
                      self.intensity, self.texture_id, self.ibl_sampler,
-                     id(self.tris), id(self.sunsky)))
+                     id(self.tris), id(self.sunsky), id(self.env)))
 
 
 @dataclass
@@ -57,6 +58,39 @@ class LightTables:
 
     def __iter__(self):
         return iter(self.lights)
+
+
+def _load_env(li, desc):
+    """Load a dome/IBL light's environment texture from the searchpaths
+    into an EnvMap (light->texture, lightsource.c:127-142; fetched per
+    gathered direction like ibl.c:53-540 / texture.c:238), binding any
+    sisfile (light.h:51-52)."""
+    if li.type not in (LIGHT_DOME, LIGHT_IBL) or not li.texture:
+        return None
+    from lucille_tpu.base.log import LOG_WARN, log
+    from lucille_tpu.imageio.loader import find_file, load_image
+    from lucille_tpu.lights.envmap import EnvMap
+
+    sp = getattr(getattr(desc, "options", None), "searchpaths", None)
+    found = find_file(li.texture, sp)
+    if found is None:
+        log(LOG_WARN, "IBL texture '%s' not found on searchpath; "
+            "light falls back to flat color", li.texture)
+        return None
+    try:
+        env = EnvMap(load_image(found), mapping=getattr(li, "mapping", None),
+                     name=li.texture)
+    except (ValueError, OSError) as e:
+        log(LOG_WARN, "cannot load IBL texture '%s': %s", li.texture, e)
+        return None
+    if li.sis_file:
+        sis = find_file(li.sis_file, sp)
+        if sis is not None:
+            env.load_sis(sis)
+        else:
+            log(LOG_WARN, "sisfile '%s' not found; generating SIS samples "
+                "from the map", li.sis_file)
+    return env
 
 
 def build_light_tables(desc, scene=None) -> LightTables:
@@ -95,6 +129,7 @@ def build_light_tables(desc, scene=None) -> LightTables:
                 tris=tris,
                 ibl_sampler=li.ibl_sampler,
                 sunsky=li.sunsky,
+                env=_load_env(li, desc),
             )
         )
     if not entries:

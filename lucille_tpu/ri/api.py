@@ -40,6 +40,11 @@ from lucille_tpu.ri.types import (
 MAX_UNKNOWN_COMMANDS = 30  # reference parserib.y:41-42
 
 
+def _str1(val) -> str:
+    """First element of a string-valued RIB parameter."""
+    return str(val[0] if isinstance(val, (list, tuple, np.ndarray)) else val)
+
+
 class TooManyUnknownCommands(RuntimeError):
     pass
 
@@ -179,13 +184,26 @@ class RiState:
                 m.texture = str(arr[0]) if str(arr[0]) else None
 
     def Displacement(self, name, params):
-        log(LOG_WARN, "Displacement shaders unsupported; ignoring '%s'", name)
+        """Bind a displacement shader (render/shader.h ABI scope).
+
+        Executed over the geometry's vertices at scene-compile time
+        (shading/pipeline.py) — the ray tracer's analog of REYES
+        dice-time displacement; normals are rebuilt from the displaced
+        mesh."""
+        self.attrs.displacement = str(name)
+        self.attrs.displacement_params = dict(params)
 
     def Atmosphere(self, name, params):
-        log(LOG_WARN, "Atmosphere shaders unsupported; ignoring '%s'", name)
+        """Bind a volume/atmosphere shader, run per eye ray at shading
+        (Ci fogged by ray length; shading/pipeline.py)."""
+        self.attrs.atmosphere = str(name)
+        self.attrs.atmosphere_params = dict(params)
 
     def Imager(self, name, params):
-        log(LOG_WARN, "Imager shaders unsupported; ignoring '%s'", name)
+        """Bind the frame imager shader, run as a film post-pass over the
+        assembled frame (shading/pipeline.py)."""
+        self.options.imager = str(name)
+        self.options.imager_params = dict(params)
 
     # ------------------------------------------------------------------
     # lights
@@ -213,7 +231,10 @@ class RiState:
         o2c = vm.mat4_mul(c2w, om)  # sic: reference lightsource.c:75
         for key, val in params.items():
             base = key.split()[-1]
-            arr = np.asarray(val, dtype=np.float64).reshape(-1)
+            try:
+                arr = np.asarray(val, dtype=np.float64).reshape(-1)
+            except (ValueError, TypeError):
+                arr = None  # string-valued token
             if base == "from":
                 light.position = vm.transform_point(arr[:3], o2c)
             elif base == "to":
@@ -225,6 +246,14 @@ class RiState:
                 light.color = arr[:3].copy()
             elif base in ("texturename", "texture", "filename"):
                 light.texture = str(val[0] if isinstance(val, (list, tuple)) else val)
+            elif base == "mapping":
+                light.mapping = _str1(val)
+            elif base == "sampling":
+                # sampler-selection tokens (lightsource.c:127-142 ->
+                # IBL_SAMPLING_* enum, light.h:19-23)
+                light.ibl_sampler = _str1(val)
+            elif base == "sisfile":
+                light.sis_file = _str1(val)
         self.scene.lights.append(light)
         return len(self.scene.lights) - 1
 
@@ -238,11 +267,23 @@ class RiState:
             kw = {}
             for key, val in params.items():
                 base = key.split()[-1]
-                arr = np.asarray(val, dtype=np.float64).reshape(-1)
+                try:
+                    arr = np.asarray(val, dtype=np.float64).reshape(-1)
+                except (ValueError, TypeError):
+                    continue
                 if base in ("latitude", "longitude", "turbidity"):
                     kw[base] = float(arr[0])
                 elif base in ("month", "day", "hour"):
                     kw[base] = float(arr[0])
+                # the reference's own tokens (lightsource.c:304-317)
+                elif base == "julian_day":
+                    kw["julian_day"] = float(arr[0])
+                elif base == "time_of_day":
+                    kw["hour"] = float(arr[0])
+                elif base == "standard_meridian":
+                    # RIB value is a TIMEZONE; ri_sunsky_init scales by
+                    # 15 to degrees (sunsky.c:207)
+                    kw["standard_meridian"] = float(arr[0]) * 15.0
             sunsky = PreethamSunSky(**kw)
             light = LightDesc(type="sunsky", sunsky=sunsky)
             sampler = params.get("sampling")

@@ -78,6 +78,9 @@ class RenderOptions:
     searchpaths: list = field(default_factory=lambda: ["."])
     # ad-hoc implementation-specific KV store (option.h:131-134)
     impl: dict = field(default_factory=dict)
+    # frame-level imager shader (RiImager; executed as a film post-pass)
+    imager: Optional[str] = None
+    imager_params: dict = field(default_factory=dict)
     # TPU-native additions
     tile_size: int = 64
     bucket_order: str = "spiral"  # spiral | scanline | zorder | hilbert
@@ -106,6 +109,10 @@ class AttributeState:
 
     surface: Optional[str] = None
     surface_params: dict = field(default_factory=dict)
+    displacement: Optional[str] = None
+    displacement_params: dict = field(default_factory=dict)
+    atmosphere: Optional[str] = None
+    atmosphere_params: dict = field(default_factory=dict)
     material: MaterialDesc = field(default_factory=MaterialDesc)
     sides: int = 1
     color: tuple = (1.0, 1.0, 1.0)
@@ -155,6 +162,7 @@ class LightDesc:
     intensity: float = 1.0
     geom_index: int = -1  # area light geometry
     texture: Optional[str] = None  # IBL map path
+    mapping: Optional[str] = None  # "angular" | "latlong" | None = by aspect
     ibl_sampler: str = "cosweight"
     sis_file: Optional[str] = None
     sunsky: Optional[Any] = None  # PreethamSunSky params

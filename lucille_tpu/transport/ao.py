@@ -78,11 +78,18 @@ def ao_radiance(
     nphi: int,
     background: float = 0.0,
     textures=None,
+    lights=None,
 ):
     """AO radiance for a wavefront of eye rays.
 
     org, dirn: (B, 3) float32.  Returns (radiance (B, 3), aux dict with
     hit mask + ray/test counters).
+
+    When the scene carries a sunsky light, the integrator switches to the
+    reference's sunsky-AO derivative (gather_sunsky +
+    contribution_from_sunlight, ambientocclusion.c:154-332): sky radiance
+    is accumulated along every UNOCCLUDED hemisphere stratum and a sun
+    shadow ray adds the direct sun color.
     """
     B = org.shape[0]
     res = closest_hit(scene, org, dirn)
@@ -95,6 +102,20 @@ def ao_radiance(
     P_off = P + Ns * scene.eps  # eps-offset origin (ambientocclusion.c:68)
 
     nsamples = ntheta * nphi
+
+    sunsky_light = None
+    sun_lights = []
+    if lights is not None:
+        for li in lights:
+            if li.type == "sunsky" and li.sunsky is not None:
+                sunsky_light = li
+            elif li.type == "sun":
+                sun_lights.append(li)
+    if sunsky_light is not None:
+        return _gather_sunsky(
+            scene, res, hit, P_off, b0, b1, b2, key, ntheta, nphi,
+            sunsky_light, sun_lights, background, textures, B,
+        )
 
     from lucille_tpu.accel.pallas_ao import (
         MAX_TRIS_FOR_MEGAKERNEL,
@@ -160,18 +181,71 @@ def ao_radiance(
     return _finish(scene, res, hit, occ, nsamples, background, textures, B)
 
 
-def _finish(scene, res, hit, occ, nsamples, background, textures, B,
-            extra=None):
-    """Shared epilogue: occlusion count -> radiance + texture modulation
-    + statistics (ambientocclusion.c:135-150, 393-400).  `extra` adds
-    gather-phase counters (ntrav/ntests/nmiss) to the eye-ray ones."""
-    lo = (nsamples - occ) / nsamples  # m = 1.0 (ambientocclusion.c:146)
-    radiance = jnp.where(hit, lo, background)[..., None] * jnp.ones(
-        (1, 3), jnp.float32
-    )
+def _gather_sunsky(scene, res, hit, P_off, b0, b1, b2, key, ntheta, nphi,
+                   sunsky_light, sun_lights, background, textures, B):
+    """Sunsky-AO gather (ambientocclusion.c:154-332): per unoccluded
+    stratum accumulate the Preetham sky radiance along the ray; then one
+    shadow ray toward the sun adds the sun color unattenuated (no cosine
+    — contribution_from_sunlight:190-196); final Lo = col/(pi*nsamples),
+    the reference's m = 1/pi normalization (the sun term shares the
+    stratum divisor, faithfully)."""
+    nsamples = ntheta * nphi
+    sky = sunsky_light.sunsky
 
-    # vertex color Cs modulation + material texture modulation at the
-    # interpolated st (ambientocclusion.c:393-400)
+    strata = jnp.arange(nsamples, dtype=jnp.int32)
+
+    def step(col, si):
+        i = (si % ntheta).astype(jnp.float32)
+        j = (si // ntheta).astype(jnp.float32)
+        k = jax.random.fold_in(key, si)
+        ur = jax.random.uniform(k, (B, 2), dtype=jnp.float32)
+        z0 = (i + ur[:, 0]) / ntheta
+        z1 = (j + ur[:, 1]) / nphi
+        cos_t = jnp.sqrt(z0)
+        phi = 2.0 * jnp.pi * z1
+        lx = jnp.cos(phi) * cos_t
+        ly = jnp.sin(phi) * cos_t
+        lz = jnp.sqrt(jnp.maximum(1.0 - cos_t * cos_t, 0.0))
+        wdir = lx[..., None] * b0 + ly[..., None] * b1 + lz[..., None] * b2
+        occluded = any_hit(scene, P_off, wdir)
+        vis = (~occluded) & hit
+        # world (y-up) -> sky model (z-up) frame, the same swap the sun
+        # light construction applies (lightsource.c:152-158)
+        d_sky = jnp.stack([wdir[:, 0], wdir[:, 2], wdir[:, 1]], axis=-1)
+        return col + vis[:, None] * sky.sky_rgb(d_sky), None
+
+    col, _ = jax.lax.scan(step, jnp.zeros((B, 3), jnp.float32), strata)
+
+    # contribution_from_sunlight: trace along +sun direction, add the sun
+    # color where unoccluded
+    for sun in sun_lights:
+        wi = jnp.asarray(sun.direction, jnp.float32)
+        wi = wi / jnp.maximum(jnp.linalg.norm(wi), 1e-20)
+        wi = jnp.broadcast_to(wi, P_off.shape)
+        occluded = any_hit(scene, P_off, wi)
+        suncol = jnp.asarray(sun.color, jnp.float32) * sun.intensity
+        col = col + (((~occluded) & hit).astype(jnp.float32))[:, None] * suncol
+
+    lo = col / (jnp.pi * nsamples)
+    radiance = jnp.where(hit[..., None], lo, background)
+    radiance = _modulate(scene, res, hit, radiance, textures)
+
+    aux = {
+        "hit": hit,
+        "nrays": B + jnp.sum(hit.astype(jnp.int32)) * (
+            nsamples + len(sun_lights)
+        ),
+        "ntests": res["ntests"],
+        "ntrav": res["ntrav"],
+        "nmiss": 0,
+        "t": res["t"],
+    }
+    return radiance, aux
+
+
+def _modulate(scene, res, hit, radiance, textures):
+    """Vertex-color + material-texture modulation at the hit
+    (ambientocclusion.c:393-400)."""
     tri = jnp.maximum(res["tri"], 0)
     u = res["u"][..., None]
     v = res["v"][..., None]
@@ -185,6 +259,19 @@ def _finish(scene, res, hit, occ, nsamples, background, textures, B,
         texcol = textures.fetch(jnp.maximum(tex_id, 0), st[..., 0], st[..., 1])
         has_tex = hit & (tex_id >= 0)
         radiance = radiance * jnp.where(has_tex[..., None], texcol, 1.0)
+    return radiance
+
+
+def _finish(scene, res, hit, occ, nsamples, background, textures, B,
+            extra=None):
+    """Shared epilogue: occlusion count -> radiance + texture modulation
+    + statistics (ambientocclusion.c:135-150, 393-400).  `extra` adds
+    gather-phase counters (ntrav/ntests/nmiss) to the eye-ray ones."""
+    lo = (nsamples - occ) / nsamples  # m = 1.0 (ambientocclusion.c:146)
+    radiance = jnp.where(hit, lo, background)[..., None] * jnp.ones(
+        (1, 3), jnp.float32
+    )
+    radiance = _modulate(scene, res, hit, radiance, textures)
 
     extra = extra or {}
     aux = {

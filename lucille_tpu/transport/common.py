@@ -80,5 +80,10 @@ def background_radiance(lights, dirn, bgcolor=(0.0, 0.0, 0.0)):
             out = out + light.sunsky.sky_rgb(d_sky)
         elif light.type in ("dome", "ibl"):
             col = jnp.asarray(light.color, jnp.float32) * light.intensity
-            out = out + jnp.broadcast_to(col, dirn.shape)
+            if getattr(light, "env", None) is not None:
+                # escaped rays see the actual environment texture
+                # (pathtrace.c IBL gather; texture.c:238)
+                out = out + light.env.fetch(dirn) * col[None, :]
+            else:
+                out = out + jnp.broadcast_to(col, dirn.shape)
     return out

@@ -30,7 +30,7 @@ def get_integrator(name: str):
 
             ntheta = max(1, int(np.sqrt(gather_nsamples)))
             return ao_radiance(scene, org, dirn, key, ntheta, ntheta,
-                               textures=textures)
+                               textures=textures, lights=lights)
 
         return ao_fn
     if name == "whitted":

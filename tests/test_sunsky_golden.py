@@ -1,0 +1,215 @@
+"""Sunsky parity vs CPU-lucille: PreethamSunSky against the reference's
+ri_sunsky_* (spectral Preetham, sunsky.c) built from source on this
+container.  Skipped when the reference tree or gcc is unavailable.
+
+The reference's ri_sunsky_get_sky_rgb takes WORLD (y-up) directions and
+swaps y/z internally (sunsky.c:343-345); the repo's PreethamSunSky takes
+z-up directions and the callers swap — this test pins both conventions
+together.
+"""
+
+import math
+import os
+import shutil
+import subprocess
+from pathlib import Path
+
+import numpy as np
+import pytest
+
+REF = Path("/root/reference")
+
+HARNESS = r"""
+#include <stdio.h>
+#include <stdlib.h>
+#include "sunsky.h"
+
+int main(int argc, char **argv) {
+    float lat = atof(argv[1]), lon = atof(argv[2]), sm = atof(argv[3]);
+    int jd = atoi(argv[4]);
+    float tod = atof(argv[5]), turb = atof(argv[6]);
+    ri_sunsky_t *s = ri_sunsky_new();
+    ri_sunsky_init(s, lat, lon, sm, jd, tod, turb, 0);
+    printf("sun %.9e %.9e %.9e\n", s->sun_dir[0], s->sun_dir[1], s->sun_dir[2]);
+    printf("sunrgb %.9e %.9e %.9e\n", s->sun_rgb[0], s->sun_rgb[1], s->sun_rgb[2]);
+    /* direction grid (y-up world): theta from +y, phi around y */
+    int nt = 6, np_ = 8;
+    for (int i = 0; i < nt; i++) {
+        for (int j = 0; j < np_; j++) {
+            float th = (i + 0.5f) / nt * 1.45f;  /* stay above horizon */
+            float ph = (j + 0.5f) / np_ * 6.2831853f;
+            float v[3];
+            v[0] = sinf(th) * cosf(ph);
+            v[1] = cosf(th);
+            v[2] = sinf(th) * sinf(ph);
+            float rgb[3];
+            ri_sunsky_get_sky_rgb(rgb, s, v);
+            printf("sky %.6f %.6f %.9e %.9e %.9e\n", th, ph,
+                   rgb[0], rgb[1], rgb[2]);
+        }
+    }
+    return 0;
+}
+"""
+
+
+def _build():
+    out = Path("/tmp/lucille_cpu")
+    if not (out / "liblucille.a").exists():
+        subprocess.run(
+            ["sh", "tests/golden/build_lucille.sh", str(out)],
+            check=True, capture_output=True,
+        )
+    src = out / "sunsky_harness.c"
+    exe = out / "sunsky_harness"
+    if not exe.exists() or HARNESS != getattr(_build, "_src", None):
+        src.write_text(HARNESS)
+        subprocess.run(
+            ["gcc", "-O2", "-w", f"-I{REF}/src/render", f"-I{REF}/src/base",
+             f"-I{REF}/include", str(src), str(out / "liblucille.a"),
+             "-lm", "-lpthread", "-o", str(exe)],
+            check=True, capture_output=True,
+        )
+        _build._src = HARNESS
+    return exe
+
+
+needs_ref = pytest.mark.skipif(
+    not REF.exists() or shutil.which("gcc") is None,
+    reason="reference tree or gcc unavailable",
+)
+
+
+@needs_ref
+class TestSunskyParity:
+    LAT, LON, SM = 35.0, 135.0, 135.0
+    MONTH, DAY, HOUR = 7.0, 20.0, 15.0
+    TURB = 2.0
+
+    def _run_ref(self):
+        exe = _build()
+        jd = int((self.MONTH - 1.0) * 30.4 + self.DAY)
+        # ri_sunsky_init takes the TIMEZONE and scales by 15 (sunsky.c:207)
+        out = subprocess.run(
+            [str(exe), str(self.LAT), str(self.LON), str(self.SM / 15.0),
+             str(jd), str(self.HOUR), str(self.TURB)],
+            check=True, capture_output=True, text=True,
+        ).stdout.splitlines()
+        # the reference logs extra lines; parse by prefix
+        sun_ln = next(ln for ln in out if ln.startswith("sun "))
+        sun = np.array([float(x) for x in sun_ln.split()[1:]])
+        rows = np.array(
+            [[float(x) for x in ln.split()[1:]]
+             for ln in out if ln.startswith("sky ")]
+        )
+        return sun, rows  # rows: theta, phi, r, g, b
+
+    def _sky(self):
+        from lucille_tpu.lights.sunsky import PreethamSunSky
+
+        jd = int((self.MONTH - 1.0) * 30.4 + self.DAY)
+        return PreethamSunSky(
+            latitude=self.LAT, longitude=self.LON,
+            standard_meridian=self.SM, julian_day=jd,
+            hour=self.HOUR, turbidity=self.TURB,
+        )
+
+    def test_sun_direction_matches(self):
+        sun_ref, _ = self._run_ref()
+        mine = self._sky().sun_direction()  # z-up
+        np.testing.assert_allclose(mine, sun_ref, atol=0.02)
+
+    def test_sky_radiance_pattern_matches(self):
+        """Relative sky radiance distribution matches the reference's
+        spectral Preetham within the spectral->RGB conversion difference
+        (reference: CIE tables + spectrum_to_xyz; ours: Perez xyY->RGB).
+        Compare luminance normalized to the grid mean, plus chromaticity
+        ordering (sky bluer away from the sun)."""
+        _, rows = self._run_ref()
+        th, ph = rows[:, 0], rows[:, 1]
+        ref_rgb = rows[:, 2:5]
+        # same directions, z-up for the repo model
+        d = np.stack(
+            [np.sin(th) * np.cos(ph), np.sin(th) * np.sin(ph), np.cos(th)],
+            axis=-1,
+        )
+        mine = np.asarray(self._sky().sky_rgb(d))
+
+        ref_lum = ref_rgb.mean(axis=-1)
+        my_lum = mine.mean(axis=-1)
+        ref_n = ref_lum / ref_lum.mean()
+        my_n = my_lum / my_lum.mean()
+        # normalized luminance field: same shape (Perez distribution)
+        corr = np.corrcoef(ref_n, my_n)[0, 1]
+        assert corr > 0.97, corr
+        assert np.abs(ref_n - my_n).mean() < 0.25
+        # blue fraction rises away from the sun in both
+        sunpos = np.argmax(ref_lum)
+        away = np.argmin(ref_lum)
+        for rgb in (ref_rgb, mine):
+            if rgb[sunpos].sum() > 0 and rgb[away].sum() > 0:
+                assert (
+                    rgb[away][2] / rgb[away].sum()
+                    >= rgb[sunpos][2] / rgb[sunpos].sum() - 0.05
+                )
+
+    def test_gathered_ao_irradiance_scale(self):
+        """End-to-end sanity on the sunsky-AO gather: the repo's
+        unoccluded Lo = mean(sky)/pi stays within a factor of ~2 of the
+        reference model's (absolute radiometric scale differs with the
+        spectral->RGB path, but must be the same order of magnitude)."""
+        import jax
+        import jax.numpy as jnp
+
+        _, rows = self._run_ref()
+        ref_mean = rows[:, 2:5].mean()
+
+        from lucille_tpu.lights.tables import build_light_tables
+        from lucille_tpu.ri.api import RiState
+        from lucille_tpu.rib.parser import parse_rib
+        from lucille_tpu.scene.compile import compile_scene
+        from lucille_tpu.transport.ao import ao_radiance
+
+        s = RiState()
+        parse_rib(
+            "WorldBegin\n"
+            f'AreaLightSource "sunsky" 1 "hour" [{self.HOUR}] '
+            f'"turbidity" [{self.TURB}] "latitude" [{self.LAT}] '
+            f'"longitude" [{self.LON}]\n'
+            'PointsPolygons [4] [0 3 2 1] "P" '
+            '[-90 0 -90  90 0 -90  90 0 90  -90 0 90]\n'
+            "WorldEnd\n",
+            s,
+        )
+        scene = compile_scene(s.scene).device_put()
+        lights = build_light_tables(s.scene)
+        org = jnp.asarray([[0.0, 4.0, 0.0]] * 8)
+        dirn = jnp.asarray([[0.0, -1.0, 0.0]] * 8)
+        rad, _ = ao_radiance(scene, org, dirn, jax.random.key(0), 6, 6,
+                             lights=lights)
+        my_lo = float(np.asarray(rad).mean())
+        # unoccluded upward plane: Lo = mean(sky over cos-weighted strata
+        # + sun)/（pi*nsamples) (gather_sunsky) ~= grid-mean/pi within the
+        # sampling-weights difference + the sun term
+        assert ref_mean / math.pi * 0.4 < my_lo < ref_mean / math.pi * 4.0
+
+    def test_sun_rgb_scale_matches(self):
+        """sunlight_rgb magnitude + chromaticity vs the reference's
+        spectral sun (compute_attenuated_sunlight)."""
+        exe = _build()
+        jd = int((self.MONTH - 1.0) * 30.4 + self.DAY)
+        out = subprocess.run(
+            [str(exe), str(self.LAT), str(self.LON), str(self.SM / 15.0),
+             str(jd), str(self.HOUR), str(self.TURB)],
+            check=True, capture_output=True, text=True,
+        ).stdout
+        ref = np.array(
+            [float(x) for x in next(
+                ln for ln in out.splitlines() if ln.startswith("sunrgb")
+            ).split()[1:]]
+        )
+        mine = np.asarray(self._sky().sunlight_rgb())
+        assert mine.mean() == pytest.approx(ref.mean(), rel=0.35)
+        np.testing.assert_allclose(
+            mine / mine.mean(), ref / ref.mean(), atol=0.12
+        )
