@@ -233,14 +233,13 @@ def main(argv=None) -> int:
 
     ckpt = None
     if args.recover:
-        if distributed:
-            # tile skipping must be identical on every process or the
-            # sharded rounds desync; until the done-bitmap is broadcast,
-            # refuse rather than deadlock
-            print("lucille-tpu: --recover is single-process only; ignoring")
-        else:
-            base = (opt.current_display().name or "untitled.hdr") if opt.displays else "untitled.hdr"
-            ckpt = base + ".ckpt.npz"
+        # multi-process safe: the renderer broadcasts host-0's recovered
+        # image + done-bitmap to every process at frame start
+        # (parallel/distributed.py broadcast_from_primary), so sharded
+        # tile rounds skip identical tiles; only host 0 reads/writes the
+        # checkpoint file itself
+        base = (opt.current_display().name or "untitled.hdr") if opt.displays else "untitled.hdr"
+        ckpt = base + ".ckpt.npz"
 
     image = renderer.render_frame(
         tile_cb=tile_cb,
@@ -248,6 +247,10 @@ def main(argv=None) -> int:
         checkpoint=ckpt,
         recover=args.recover,
     )
+    if opt.imager:
+        # the imager post-pass ran over the assembled frame; re-write it
+        # so the file/socket drivers flush the post-processed pixels
+        tile_cb(0, 0, image)
     del image
     if args.verbose:
         print()

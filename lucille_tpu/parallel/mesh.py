@@ -73,12 +73,7 @@ def sharded_tile_batch(mesh: Mesh, tile_kernel):
         in_specs=(P(), P(axis), P(axis), P(), P()),
         out_specs=(
             P(axis),
-            {
-                "nrays": P(axis),
-                "ntests": P(axis),
-                "ntrav": P(axis),
-                "nmiss": P(axis),
-            },
+            {"counters": P(axis), "alpha": P(axis)},
         ),
         # integrator while_loops mix replicated literals with varying ray
         # state; skip the vma type check (tiles are independent, counters
@@ -89,12 +84,13 @@ def sharded_tile_batch(mesh: Mesh, tile_kernel):
         img, aux = tile_kernel(
             scene, origins[0, 0], origins[0, 1], jitter, weights, keys[0]
         )
-        nrays = jnp.asarray(aux["nrays"], jnp.int32).reshape(1)
         out_aux = {
-            "nrays": nrays,
-            "ntests": jnp.asarray(aux["ntests"], jnp.float32).reshape(1),
-            "ntrav": jnp.asarray(aux["ntrav"], jnp.float32).reshape(1),
-            "nmiss": jnp.asarray(aux.get("nmiss", 0), jnp.float32).reshape(1),
+            "counters": aux["counters"][None],
+            # mesh tiles always carry alpha: the whole round is ONE
+            # all_gather anyway, so there is no extra transfer to save
+            "alpha": aux.get(
+                "alpha", jnp.asarray(aux["hit"], jnp.float32)
+            )[None],
         }
         return img[None], out_aux
 

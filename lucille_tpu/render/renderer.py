@@ -51,10 +51,13 @@ def build_tile_kernel(
     bgcolor=(0.0, 0.0, 0.0),
     textures=None,
     shader_table=None,
+    atmosphere=None,
+    searchpaths=None,
+    want_alpha=False,
 ):
     """Compile-once tile kernel: (scene, x0, y0, jitter, weights, key) ->
     ((tile_h, tile_w, 3) radiance, aux).  Per-frame constants (camera,
-    lights, integrator) are baked into the closure."""
+    lights, integrator, atmosphere shader) are baked into the closure."""
     import jax
     import jax.numpy as jnp
 
@@ -100,6 +103,22 @@ def build_tile_kernel(
             textures=textures,
             **extra_kwargs,
         )
+        # atmosphere/volume shader: fog Ci by eye-ray length at shading
+        # (shading/pipeline.py; the reference's volume-shader ABI slot)
+        if atmosphere is not None and aux.get("t") is not None:
+            from lucille_tpu.shading.pipeline import apply_atmosphere
+
+            t_eye = aux["t"]
+            hitw = aux["hit"]
+            ray_len = jnp.where(hitw, t_eye, 0.0) * jnp.linalg.norm(
+                dirn, axis=-1
+            )
+            P_hit = org + jnp.where(hitw, t_eye, 0.0)[:, None] * dirn
+            radiance = apply_atmosphere(
+                radiance, ray_len, P_hit, hitw, atmosphere[0], atmosphere[1],
+                searchpaths,
+            )
+
         # pixel-filter reconstruction over subsamples (render.c:715-823
         # box-averages; RIB PixelFilter generalizes via constant weights)
         r = radiance.reshape(tile_h, tile_w, S, 3)
@@ -108,15 +127,27 @@ def build_tile_kernel(
         hitmask = aux["hit"].reshape(tile_h, tile_w, S)
         if "ntests" not in aux:
             aux = dict(aux, ntests=0, ntrav=0)
-        # statistics counters ride as f32: per-tile triangle-test counts
-        # (B * n_tris on the dense paths) overflow int32 on big scenes
-        return img, {
-            "ntests": jnp.asarray(aux.get("ntests", 0), jnp.float32),
-            "ntrav": jnp.asarray(aux.get("ntrav", 0), jnp.float32),
-            "nmiss": jnp.asarray(aux.get("nmiss", 0), jnp.float32),
-            "nrays": nrays,
+        # statistics counters ride as ONE f32 vector: the tunneled TPU
+        # link pays ~RTT per host transfer, so per-tile aux must be a
+        # single pull, not four (f32 because per-tile triangle-test
+        # counts overflow int32 on big scenes)
+        out_aux = {
+            "counters": jnp.stack(
+                [
+                    jnp.asarray(aux.get("ntests", 0), jnp.float32),
+                    jnp.asarray(aux.get("ntrav", 0), jnp.float32),
+                    jnp.asarray(aux.get("nmiss", 0), jnp.float32),
+                    jnp.asarray(nrays, jnp.float32),
+                ]
+            ),
             "hit": hitmask.any(axis=2),
         }
+        if want_alpha:
+            # fractional subsample coverage — the imager stage's alpha
+            # (computed only when an imager is bound: one more per-tile
+            # device->host transfer is ~60 ms/tile on this link)
+            out_aux["alpha"] = hitmask.astype(jnp.float32).mean(axis=2)
+        return img, out_aux
 
     return kernel
 
@@ -141,12 +172,10 @@ class _Round:
             )
             self._result = None
         imgs, aux = self._np
-        return imgs[slot], {
-            "nrays": aux["nrays"][slot],
-            "ntests": aux["ntests"][slot],
-            "ntrav": aux["ntrav"][slot],
-            "nmiss": aux["nmiss"][slot],
-        }
+        out = {"counters": aux["counters"][slot]}
+        if "alpha" in aux:
+            out["alpha"] = aux["alpha"][slot]
+        return imgs[slot], out
 
 
 @dataclass
@@ -167,6 +196,9 @@ class Renderer:
     def __post_init__(self):
         timer = get_timer()
         timer.start("Scene compile")
+        from lucille_tpu.shading.pipeline import displace_scene
+
+        displace_scene(self.desc)  # run bound displacement shaders
         self.textures, texture_ids = _load_textures(self.desc)
         self.scene = compile_scene(
             self.desc, texture_ids=texture_ids
@@ -184,14 +216,26 @@ class Renderer:
 
     def _get_kernel(self, tile_w, tile_h, xsamples, ysamples):
         opt = self.desc.options
+        atm = next(
+            (g.attrs.atmosphere for g in self.desc.geoms
+             if getattr(g.attrs, "atmosphere", None)), None,
+        )
         shape = (tile_w, tile_h, xsamples, ysamples, opt.render_method,
-                 opt.gather_nsamples, opt.max_ray_depth)
+                 opt.gather_nsamples, opt.max_ray_depth, atm)
         if self._kernel_shape != shape:
             shader_table = None
             if opt.render_method in ("shader", "sl", "shade"):
                 from lucille_tpu.transport.shaded import build_shader_table
 
                 shader_table = build_shader_table(self.desc)
+            # frame-level atmosphere: the first bound volume shader (the
+            # MOSAIC/Blender export binds one global fog)
+            atmosphere = None
+            for g in self.desc.geoms:
+                if getattr(g.attrs, "atmosphere", None):
+                    atmosphere = (g.attrs.atmosphere,
+                                  dict(g.attrs.atmosphere_params))
+                    break
             self._kernel = build_tile_kernel(
                 self._frozen_camera,
                 self.lights,
@@ -205,6 +249,9 @@ class Renderer:
                 opt.bgcolor,
                 textures=self.textures,
                 shader_table=shader_table,
+                atmosphere=atmosphere,
+                searchpaths=tuple(opt.searchpaths),
+                want_alpha=bool(opt.imager),
             )
             self._kernel_shape = shape
         return self._kernel
@@ -296,6 +343,7 @@ class Renderer:
 
         kernel = self._get_kernel(tile_w, tile_h, xsamples, ysamples)
         image = np.zeros((H, W, 3), dtype=np.float32)
+        alpha = np.zeros((H, W), dtype=np.float32)  # imager coverage
 
         # ---- tile-level checkpoint/resume -------------------------------
         ckpt_meta = np.asarray(
@@ -303,32 +351,54 @@ class Renderer:
             dtype=np.int64,
         )
         done = np.zeros(len(tiles), dtype=bool)
-        if checkpoint and recover and os.path.exists(checkpoint):
-            try:
-                data = np.load(checkpoint)
-                if np.array_equal(data["meta"], ckpt_meta):
-                    image = np.asarray(data["image"], dtype=np.float32)
-                    done = np.asarray(data["done"], dtype=bool)
-                    log(
-                        LOG_INFO,
-                        "recovered %d/%d finished tiles from %s",
-                        int(done.sum()),
-                        len(tiles),
-                        checkpoint,
-                    )
-                else:
-                    log(
-                        LOG_WARN,
-                        "checkpoint %s does not match this frame; ignoring",
-                        checkpoint,
-                    )
-            except Exception as e:  # corrupt file: start fresh
-                log(LOG_WARN, "cannot read checkpoint %s: %s", checkpoint, e)
+        from lucille_tpu.parallel.distributed import (
+            broadcast_from_primary,
+            is_primary_host,
+            process_count,
+        )
+
+        if checkpoint and recover:
+            if is_primary_host() and os.path.exists(checkpoint):
+                try:
+                    data = np.load(checkpoint)
+                    if np.array_equal(data["meta"], ckpt_meta):
+                        image = np.asarray(data["image"], dtype=np.float32)
+                        done = np.asarray(data["done"], dtype=bool)
+                        if "alpha" in data:
+                            alpha = np.asarray(data["alpha"], np.float32)
+                        log(
+                            LOG_INFO,
+                            "recovered %d/%d finished tiles from %s",
+                            int(done.sum()),
+                            len(tiles),
+                            checkpoint,
+                        )
+                    else:
+                        log(
+                            LOG_WARN,
+                            "checkpoint %s does not match this frame; "
+                            "ignoring",
+                            checkpoint,
+                        )
+                except Exception as e:  # corrupt file: start fresh
+                    log(LOG_WARN, "cannot read checkpoint %s: %s",
+                        checkpoint, e)
+            if process_count() > 1:
+                # ship host-0's recovery state to every process so the
+                # sharded tile rounds skip IDENTICAL tiles (the ckpt file
+                # may exist only on host 0) — MPI_Bcast analog
+                image, alpha, done = broadcast_from_primary(
+                    (image, alpha, done.astype(np.uint8))
+                )
+                done = done.astype(bool)
 
         def _save_ckpt():
+            if not is_primary_host():
+                return  # host 0 owns the checkpoint like it owns displays
             tmp = checkpoint + ".tmp.npz"
             with open(tmp, "wb") as f:
-                np.savez(f, image=image, done=done, meta=ckpt_meta)
+                np.savez(f, image=image, done=done, meta=ckpt_meta,
+                         alpha=alpha)
             os.replace(tmp, checkpoint)  # atomic against mid-write crashes
 
         timer = get_timer()
@@ -396,6 +466,7 @@ class Renderer:
             else:
                 img, aux = pending[ti]
             tile_np = np.asarray(img)
+            tile_alpha = np.asarray(aux["alpha"]) if "alpha" in aux else None
             if cropped:
                 # clip the tile write to the crop rect
                 wy0, wy1 = max(y0, crop_py0), min(y0 + th, crop_py1)
@@ -403,12 +474,19 @@ class Renderer:
                 image[wy0:wy1, wx0:wx1] = tile_np[
                     wy0 - y0 : wy1 - y0, wx0 - x0 : wx1 - x0
                 ]
+                if tile_alpha is not None:
+                    alpha[wy0:wy1, wx0:wx1] = tile_alpha[
+                        wy0 - y0 : wy1 - y0, wx0 - x0 : wx1 - x0
+                    ]
             else:
                 image[y0 : y0 + th, x0 : x0 + tw] = tile_np[:th, :tw]
-            self.stats.add(nrays=int(aux["nrays"]))
-            ntests_total += int(aux["ntests"])
-            ntrav_total += int(aux["ntrav"])
-            nmiss_total += int(aux.get("nmiss", 0))
+                if tile_alpha is not None:
+                    alpha[y0 : y0 + th, x0 : x0 + tw] = tile_alpha[:th, :tw]
+            counters = np.asarray(aux["counters"])  # ONE host transfer
+            self.stats.add(nrays=int(counters[3]))
+            ntests_total += int(counters[0])
+            ntrav_total += int(counters[1])
+            nmiss_total += int(counters[2])
             done[ti] = True
             if checkpoint:
                 _save_ckpt()
@@ -418,6 +496,18 @@ class Renderer:
                 progress_cb((ti + 1) / len(tiles))
         if checkpoint and os.path.exists(checkpoint):
             os.remove(checkpoint)  # frame completed; nothing to resume
+        if opt.imager:
+            # imager shader: film post-pass over the assembled frame
+            # (shading/pipeline.py; RiImager)
+            from lucille_tpu.shading.pipeline import apply_imager
+
+            timer.start("Imager")
+            image = np.asarray(
+                apply_imager(image, alpha, opt.imager, opt.imager_params,
+                             opt.searchpaths),
+                dtype=np.float32,
+            )
+            timer.end("Imager")
         self.stats.render_seconds += timer.end("Render frame")
         self.stats.add(ntriangle_tests=ntests_total, ntraversals=ntrav_total)
         if nmiss_total:

@@ -583,6 +583,10 @@ def _make_builtins(sg, ctx):
         "_splat3": lambda x: _as3(x),
         "radians": jnp.deg2rad,
         "degrees": jnp.rad2deg,
+        # displacement support: the mesh pipeline rebuilds exact normals
+        # from the displaced vertices afterwards (shading/pipeline.py),
+        # so calculatenormal is an identity on N here
+        "calculatenormal": lambda p: _as3(sg.N),
     }
 
 
@@ -766,7 +770,10 @@ def compile_sl(src: str):
 
     defaults = make_defaults()
 
-    def shader_fn(sg, params, ctx):
+    def run_vars(sg, params, ctx, extra_globals=None):
+        """Run the shader and return the FINAL global environment —
+        displacement shaders are read back through P/N, imagers through
+        Ci/alpha, volumes through Ci/Oi (render/shader.h ABI scope)."""
         env = _Env(_make_builtins(sg, ctx))
         B = sg.P.shape[0]
         env.vars.update(
@@ -789,6 +796,8 @@ def compile_sl(src: str):
                 "Oi": sg.Os,
             }
         )
+        if extra_globals:
+            env.vars.update(extra_globals)
         for ptype, pname, _d in ast.params:
             val = params.get(pname, defaults.get(pname, 0.0))
             if isinstance(val, str):
@@ -796,11 +805,16 @@ def compile_sl(src: str):
             else:
                 env.vars[pname] = jnp.asarray(val, jnp.float32)
         _exec_block(ast.body, env)
-        return _as3(env.vars["Ci"]), _as3(env.vars["Oi"])
+        return env.vars
+
+    def shader_fn(sg, params, ctx):
+        env_vars = run_vars(sg, params, ctx)
+        return _as3(env_vars["Ci"]), _as3(env_vars["Oi"])
 
     shader_fn.__name__ = f"sl_{ast.name}"
     shader_fn.shader_name = ast.name
     shader_fn.shader_kind = ast.kind
+    shader_fn.run_vars = run_vars
     return shader_fn, defaults
 
 

@@ -88,6 +88,11 @@ class TestPlaneSphereParity:
         parse_rib_file(PS_RIB, s)
         assert s.scene.ntriangles == 1986
         s.Format(128, 128)
+        # CPU-lucille accepts-and-ignores RiImager; lucille_tpu EXECUTES
+        # MOSAICbackground (shading/pipeline.py), which fills escaped
+        # pixels with the export's bgcolor.  Pixel parity against the
+        # reference's golden is therefore pre-imager.
+        s.scene.options.imager = None
         img = Renderer(s.scene, tile_size=64).render_frame()
         diff = np.abs(golden - img[::-1]).mean(axis=-1)
         assert diff.mean() < 0.01, f"mean diff {diff.mean():.4f}"
