@@ -51,7 +51,28 @@ _VMEM = pltpu.VMEM
 
 # node-array SMEM budget: 8192 nodes x 36 B = 288 KB, safely under the
 # measured 512 KB scratch ceiling with room for the ray rows
+# (LUCILLE_BVH_NODES overrides for experiments)
 NODE_BUDGET = 8192
+
+
+def _node_budget() -> int:
+    import os
+
+    return int(os.environ.get("LUCILLE_BVH_NODES", NODE_BUDGET))
+
+
+def _ao_block() -> int:
+    """Lanes per fused-AO block walk (LUCILLE_BVH_AO_BLOCK).
+
+    Bigger blocks amortize scalar walk overhead over more rays but grow
+    the per-walk leaf union and the (TC, block) MT intermediates.
+    MEASURED on the 1M heightfield (fused mode): 256 -> 0.95 Mrays/s,
+    1024 -> 0.48 (union grew ~2.7x and VMEM pressure rose) — so 256
+    stays the default and the cone-tiled decomposition below is the
+    production path for large scenes."""
+    import os
+
+    return int(os.environ.get("LUCILLE_BVH_AO_BLOCK", 256))
 
 # VMEM-resident triangle matrix cap: (16, N) f32 = 64 B/tri; 131072 tris
 # = 8.4 MB, leaving ~half of VMEM for ray blocks + scratch
@@ -86,7 +107,7 @@ def build_tile_bvh(v0, v1, v2, node_budget: int | None = None):
     from lucille_tpu.accel.bvh import build_bvh
 
     if node_budget is None:
-        node_budget = NODE_BUDGET  # read at call time (bench overrides)
+        node_budget = _node_budget()  # read at call time (bench overrides)
     n = len(v0)
     leaf = TC
     while True:
@@ -411,12 +432,31 @@ def pallas_bvh_closest_hit(scene, org, dirn, tmax=None,
 
 
 def _node_arrays(scene):
+    """(6, M) bbox rows + (5, M) meta rows.
+
+    meta rows: [skip, first_tile, n_tiles, far_child, split_axis].
+    Children are implicit in the DFS layout: child0 = i+1, child1 =
+    skip[i+1]; the split axis is recovered from the child centroids.
+    The skip rows drive the stackless walk (fused AO / closest); the
+    child/axis rows drive the ORDERED near-to-far stack walk of the
+    any-hit kernel (bvh_traverse's ordered descent, bvh.c:1093-1190) —
+    occluding lanes drop out of the reach set as early as possible, so
+    block walks over coherent wavefronts terminate sooner."""
     nbox = jnp.concatenate(
         [scene.node_bbmin.T, scene.node_bbmax.T], axis=0
     ).astype(jnp.float32)
+    skip = scene.node_skip.astype(jnp.int32)
+    count = scene.node_count.astype(jnp.int32)
+    m = skip.shape[0]
+    idx = jnp.arange(m, dtype=jnp.int32)
+    c0 = jnp.minimum(idx + 1, m - 1)
+    c1 = jnp.where(count > 0, 0, skip[c0])
+    c1 = jnp.clip(c1, 0, m - 1)
+    ctr = 0.5 * (scene.node_bbmin + scene.node_bbmax)
+    axis = jnp.argmax(jnp.abs(ctr[c1] - ctr[c0]), axis=-1).astype(jnp.int32)
     nmeta = jnp.stack(
-        [scene.node_skip, scene.node_first, scene.node_count]
-    ).astype(jnp.int32)
+        [skip, scene.node_first.astype(jnp.int32), count, c1, axis]
+    )
     return nbox, nmeta
 
 
@@ -494,12 +534,27 @@ def _pallas_bvh_closest_hit(scene, org, dirn, tmax=None, interpret=False,
 
 
 def _bvh_anyhit_kernel(
-    rays_ref, nbox_ref, nmeta_ref, tris_ref, occ_ref, *scratch,
-    n_nodes, hbm=False,
+    rays_ref, nbox_ref, nmeta_ref, tris_ref, occ_ref, stat_ref, stack_ref,
+    *scratch, n_nodes, hbm=False,
 ):
+    """Any-hit occlusion with ORDERED near-to-far stack traversal.
+
+    Unlike the stackless skip walk, descent prefers the child nearer
+    along the block's mean ray direction (bvh_traverse's sign-ordered
+    descent, bvh.c:1093-1190), so lanes occlude on nearby leaves first
+    and drop out of the reach union early.  MEASURED on the 1M-tri
+    heightfield cone-tiled gather: 1.27 -> 1.36 Mrays/s over DFS order
+    (the scene is escape-dominated, so unoccluded lanes still sweep the
+    frustum; occlusion-dominated scenes benefit more).  A child-pair
+    variant (test both children per iteration, enter only reached
+    nodes) was built and MEASURED ~10x SLOWER under Mosaic — the extra
+    per-iteration vector->scalar syncs dominate; do not resurrect it
+    without profiling.
+    """
     cache, sem, tag, pend, cnt = scratch if hbm else (None,) * 5
     if hbm:
         _cache_init(tag)
+        cnt[0] = 0
     ox = rays_ref[0:1, :]
     oy = rays_ref[1:2, :]
     oz = rays_ref[2:3, :]
@@ -542,10 +597,18 @@ def _bvh_anyhit_kernel(
         any1 = jnp.any(hit, axis=0, keepdims=True)
         occ_ref[:, :] = jnp.maximum(occ_ref[0:1, :], any1.astype(jnp.float32))
 
-    def tcond(node):
-        return node < n_nodes
+    # block mean-direction signs decide near-vs-far child per split axis
+    sgx = (jnp.sum(dx) >= 0.0).astype(jnp.int32)
+    sgy = (jnp.sum(dy) >= 0.0).astype(jnp.int32)
+    sgz = (jnp.sum(dz) >= 0.0).astype(jnp.int32)
 
-    def tbody(node):
+    DONE = jnp.int32(n_nodes)
+
+    def tcond(c):
+        return c[0] < n_nodes
+
+    def tbody(c):
+        node, sp, nvis, ntile = c
         tn, tf = _slab(node, nbox_ref, ox, oy, oz, ivx, ivy, ivz)
         reach = (
             (tn <= tf) & (tf > 0.0) & (tn < tmax) & (occ_ref[0:1, :] < 0.5)
@@ -561,10 +624,38 @@ def _bvh_anyhit_kernel(
                 ltiles, mt_on, hbm=hbm,
             )
 
-        return jnp.where(live & jnp.logical_not(leaf), node + 1,
-                         nmeta_ref[0, node])
+        descend = live & jnp.logical_not(leaf)
+        c1 = nmeta_ref[3, node]
+        axis = nmeta_ref[4, node]
+        # DFS child0 = node+1 sits on the LOW side of the split axis, so
+        # it is the near child when the mean direction is positive
+        pos = jnp.where(axis == 0, sgx, jnp.where(axis == 1, sgy, sgz))
+        near = jnp.where(pos == 1, node + 1, c1)
+        far = jnp.where(pos == 1, c1, node + 1)
 
-    jax.lax.while_loop(tcond, tbody, jnp.int32(0))
+        @pl.when(descend)
+        def _push():
+            stack_ref[sp] = far
+
+        pop = jnp.logical_not(descend)
+        sp_next = jnp.where(descend, sp + 1, jnp.maximum(sp - 1, 0))
+        nxt = jnp.where(
+            descend,
+            near,
+            jnp.where(pop & (sp > 0), stack_ref[jnp.maximum(sp - 1, 0)],
+                      DONE),
+        )
+        return (nxt, sp_next, nvis + 1,
+                ntile + jnp.where(live & leaf, ltiles, 0))
+
+    _, _, nvis, ntile = jax.lax.while_loop(
+        tcond, tbody,
+        (jnp.int32(0), jnp.int32(0), jnp.int32(0), jnp.int32(0)),
+    )
+    stat_ref[0:1, :] = jnp.full(stat_ref[0:1, :].shape, nvis, jnp.int32)
+    stat_ref[1:2, :] = jnp.full(stat_ref[1:2, :].shape, ntile, jnp.int32)
+    nmiss = cnt[0] if hbm else jnp.int32(0)
+    stat_ref[2:3, :] = jnp.full(stat_ref[2:3, :].shape, nmiss, jnp.int32)
 
 
 def pallas_bvh_any_hit(scene, org, dirn, tmax=None,
@@ -573,7 +664,8 @@ def pallas_bvh_any_hit(scene, org, dirn, tmax=None,
         interpret = jax.default_backend() == "cpu"
     if hbm is None:
         hbm = _use_hbm(_scene_npad(scene))
-    return _pallas_bvh_any_hit(scene, org, dirn, tmax, interpret, hbm)
+    occ, _stats = _pallas_bvh_any_hit(scene, org, dirn, tmax, interpret, hbm)
+    return occ
 
 
 @partial(jax.jit, static_argnames=("interpret", "hbm"))
@@ -589,7 +681,7 @@ def _pallas_bvh_any_hit(scene, org, dirn, tmax=None, interpret=False,
         return pl.BlockSpec(shape, index_map, memory_space=_VMEM)
 
     smem = pl.BlockSpec(memory_space=pltpu.SMEM)
-    occ = pl.pallas_call(
+    occ, stat = pl.pallas_call(
         partial(_bvh_anyhit_kernel, n_nodes=scene.n_nodes, hbm=hbm),
         grid=(B // RAY_BLOCK,),
         in_specs=[
@@ -598,12 +690,22 @@ def _pallas_bvh_any_hit(scene, org, dirn, tmax=None, interpret=False,
             smem,
             _tris_spec(hbm, npad),
         ],
-        out_specs=spec((1, RAY_BLOCK), lambda i: (0, i)),
-        out_shape=jax.ShapeDtypeStruct((1, B), jnp.float32),
-        scratch_shapes=_hbm_scratch(hbm, max(1, scene.leaf_tiles_max)),
+        out_specs=[
+            spec((1, RAY_BLOCK), lambda i: (0, i)),
+            spec((3, RAY_BLOCK), lambda i: (0, i)),
+        ],
+        out_shape=[
+            jax.ShapeDtypeStruct((1, B), jnp.float32),
+            jax.ShapeDtypeStruct((3, B), jnp.int32),
+        ],
+        # stack depth: binned SAH with tile leaves keeps trees shallow
+        # (~2*log2(8192) worst observed ~40); 192 is paranoid headroom
+        scratch_shapes=[pltpu.SMEM((192,), jnp.int32)]
+        + _hbm_scratch(hbm, max(1, scene.leaf_tiles_max)),
         interpret=interpret,
     )(rays, nbox, nmeta, tris)
-    return occ[0, :B_real] > 0.5
+    stats = stat[:, ::RAY_BLOCK].astype(jnp.float32).sum(axis=1)
+    return occ[0, :B_real] > 0.5, stats
 
 
 # ---------------------------------------------------------------------------
@@ -802,13 +904,20 @@ def pallas_bvh_ao_occlusion(
     if interpret is None:
         interpret = jax.default_backend() == "cpu"
     hbm = _use_hbm(_scene_npad(scene))
-    if os.environ.get("LUCILLE_BVH_AO", "fused") == "rebinned":
+    mode = os.environ.get("LUCILLE_BVH_AO", "cone")
+    if mode == "rebinned":
         occ = _pallas_bvh_ao_rebinned(
             scene, P_off, b0, b1, b2, hit, key, ntheta, nphi, interpret, hbm
         )
         return occ, jnp.zeros((3,), jnp.float32)
+    if mode == "cone":
+        return _pallas_bvh_ao_conetiled(
+            scene, P_off, b0, b1, b2, hit, key, ntheta, nphi, interpret, hbm,
+            _cone_k(),
+        )
     return _pallas_bvh_ao_occlusion(
-        scene, P_off, b0, b1, b2, hit, key, ntheta, nphi, interpret, hbm
+        scene, P_off, b0, b1, b2, hit, key, ntheta, nphi, interpret, hbm,
+        _ao_block(),
     )
 
 
@@ -888,7 +997,7 @@ def _pallas_bvh_ao_rebinned(
     keybits = jnp.where(live, keybits, jnp.int32(1 << 30))
     order = jnp.argsort(keybits, stable=False).astype(jnp.int32)
 
-    occ_sorted = _pallas_bvh_any_hit(
+    occ_sorted, _stats = _pallas_bvh_any_hit(
         scene, o[order], d[order], None, interpret, hbm
     )
     occ_flat = (
@@ -899,15 +1008,116 @@ def _pallas_bvh_ao_rebinned(
     return occ_flat.reshape(S, B).sum(axis=0) * hit.astype(jnp.float32)
 
 
-@partial(jax.jit, static_argnames=("ntheta", "nphi", "interpret", "hbm"))
+def _stratum_tile_perm(ntheta: int, nphi: int, K: int) -> np.ndarray:
+    """Permutation of the S=ntheta*nphi strata grouping cone-adjacent
+    (theta, phi) tiles of the stratified grid into runs of K, so each
+    256-lane block spans a COMPACT direction cone (not the full
+    hemisphere).  Falls back to the natural order when the grid doesn't
+    tile evenly."""
+    S = ntheta * nphi
+    kt = max(1, int(np.sqrt(K)))
+    while kt > 1 and (ntheta % kt or K % kt or nphi % (K // kt)):
+        kt -= 1
+    kp = K // kt
+    if ntheta % kt or nphi % kp:
+        return np.arange(S, dtype=np.int32)
+    perm = []
+    for jt in range(nphi // kp):
+        for it in range(ntheta // kt):
+            for jj in range(kp):
+                for ii in range(kt):
+                    perm.append((it * kt + ii) + ntheta * (jt * kp + jj))
+    return np.asarray(perm, dtype=np.int32)
+
+
+def _cone_k() -> int:
+    """Strata per cone-tiled block (LUCILLE_BVH_CONE_K).  256/K Morton-
+    adjacent origins share a block with K cone-adjacent strata."""
+    import os
+
+    return int(os.environ.get("LUCILLE_BVH_CONE_K", 16))
+
+
+@partial(jax.jit,
+         static_argnames=("ntheta", "nphi", "interpret", "hbm", "K"))
+def _pallas_bvh_ao_conetiled(
+    scene, P_off, b0, b1, b2, hit, key, ntheta, nphi, interpret, hbm=False,
+    K=16,
+):
+    """AO gather as (origin-patch x direction-cone) blocks.
+
+    The fused per-(block, stratum) walk makes every ray pay for the leaf
+    union of 256 origins on EVERY stratum: ~55k triangle-pair tests per
+    gather ray on the 1M heightfield.  Here each 256-lane block is
+    G = 256/K Morton-adjacent origins x K cone-adjacent strata — compact
+    in both position AND direction, so one walk serves 256 ray-samples
+    and the union stays tight.  This is the beam-tracing amortization
+    (bvh.c:545-668) applied to the gather wavefront with the right sort
+    key — round 2's frame-wide "rebinned" sort mixed origins from the
+    whole image and measured worse; the fix is tiling, not sorting.
+    """
+    from lucille_tpu.accel.pallas_ao import compaction_order
+
+    B = P_off.shape[0]
+    S = ntheta * nphi
+    while K > 1 and (S % K or RAY_BLOCK % K):
+        K //= 2
+    G = RAY_BLOCK // K
+    Bpad = -(-B // max(G, RAY_BLOCK)) * max(G, RAY_BLOCK)
+
+    if Bpad != B:
+        hit_w = jnp.zeros((Bpad,), hit.dtype).at[:B].set(hit)
+        pad3 = lambda a: jnp.zeros((Bpad, 3), a.dtype).at[:B].set(a)
+        P_off, b0, b1, b2 = pad3(P_off), pad3(b0), pad3(b1), pad3(b2)
+    else:
+        hit_w = hit
+    order, _nhit = compaction_order(scene, P_off, b2, hit_w, 1 << 20)
+
+    d_all = _stratified_dirs(b0, b1, b2, key, ntheta, nphi)  # (S, Bpad, 3)
+    # park dead lanes outside the scene so their blocks fail the root
+    # slab in one step
+    diag = scene.bbox_max - scene.bbox_min
+    o = jnp.where(hit_w[:, None], P_off, (scene.bbox_min - diag - 1.0)[None])
+    d_all = jnp.where(
+        hit_w[None, :, None], d_all, jnp.asarray([0.0, 0.0, -1.0])
+    )
+
+    o_s = o[order]
+    d_s = d_all[:, order]
+    perm = jnp.asarray(_stratum_tile_perm(ntheta, nphi, K))
+    d_s = d_s[perm]
+
+    # block assembly: lane layout (origin-group, stratum-tile, k, g)
+    NG = Bpad // G
+    ST = S // K
+    dd = (
+        d_s.reshape(ST, K, NG, G, 3)
+        .transpose(2, 0, 1, 3, 4)
+        .reshape(S * Bpad, 3)
+    )
+    oo = jnp.broadcast_to(
+        o_s.reshape(NG, 1, 1, G, 3), (NG, ST, K, G, 3)
+    ).reshape(S * Bpad, 3)
+
+    occ_flat, stats = _pallas_bvh_any_hit(scene, oo, dd, None, interpret, hbm)
+    occ_g = (
+        occ_flat.astype(jnp.float32).reshape(NG, S, G).sum(axis=1).reshape(-1)
+    )
+    occ = jnp.zeros((Bpad,), jnp.float32).at[order].set(occ_g)
+    return occ[:B] * hit.astype(jnp.float32), stats
+
+
+@partial(jax.jit,
+         static_argnames=("ntheta", "nphi", "interpret", "hbm", "blk"))
 def _pallas_bvh_ao_occlusion(
-    scene, P_off, b0, b1, b2, hit, key, ntheta, nphi, interpret, hbm=False
+    scene, P_off, b0, b1, b2, hit, key, ntheta, nphi, interpret, hbm=False,
+    blk=RAY_BLOCK,
 ):
     from lucille_tpu.accel.pallas_ao import compaction_order
     from lucille_tpu.accel.pallas_isect import _pack
 
     B = P_off.shape[0]
-    Bpad = -(-B // RAY_BLOCK) * RAY_BLOCK
+    Bpad = -(-B // blk) * blk
     tris, npad = _pack(scene)
     nbox, nmeta = _node_arrays(scene)
 
@@ -942,27 +1152,27 @@ def _pallas_bvh_ao_occlusion(
     occ_sorted, stat = pl.pallas_call(
         partial(_bvh_ao_kernel, n_nodes=scene.n_nodes, ntheta=ntheta,
                 nphi=nphi, hbm=hbm),
-        grid=(Bpad // RAY_BLOCK,),
+        grid=(Bpad // blk,),
         in_specs=[
             smem,
-            spec((16, RAY_BLOCK), lambda i: (0, i)),
-            spec((8, RAY_BLOCK), lambda i: (0, i)),
+            spec((16, blk), lambda i: (0, i)),
+            spec((8, blk), lambda i: (0, i)),
             smem,
             smem,
             _tris_spec(hbm, npad),
         ],
         out_specs=[
-            spec((1, RAY_BLOCK), lambda i: (0, i)),
-            spec((3, RAY_BLOCK), lambda i: (0, i)),
+            spec((1, blk), lambda i: (0, i)),
+            spec((3, blk), lambda i: (0, i)),
         ],
         out_shape=[
             jax.ShapeDtypeStruct((1, Bpad), jnp.float32),
             jax.ShapeDtypeStruct((3, Bpad), jnp.int32),
         ],
-        scratch_shapes=[pltpu.VMEM((1, RAY_BLOCK), jnp.float32)]
+        scratch_shapes=[pltpu.VMEM((1, blk), jnp.float32)]
         + _hbm_scratch(hbm, max(1, scene.leaf_tiles_max)),
         interpret=interpret,
     )(nact, rays, jitter, nbox, nmeta, tris)
     occ = jnp.zeros((Bpad,), jnp.float32).at[order].set(occ_sorted[0])
-    stats = stat[:, ::RAY_BLOCK].astype(jnp.float32).sum(axis=1)
+    stats = stat[:, ::blk].astype(jnp.float32).sum(axis=1)
     return occ[:B], stats  # stats = (nvis, ntile, nmiss) block sums

@@ -82,20 +82,16 @@ class TestTileBVHBuild:
 
 class TestAOKernelParity:
     def test_occlusion_counts_match_scan_path(self):
-        """The fused BVH AO kernel against the dispatch-driven per-stratum
-        scan (which itself runs the pbvh any-hit kernel): identical
-        origins/basis, common random numbers are impossible across the
-        two jitter schemes, so compare against a dense reference count
-        with the SAME CP-rotated jitter replicated in plain JAX."""
+        """The production (cone-tiled) BVH AO path against a dense
+        occlusion oracle with the SAME per-lane CP-rotated jitter
+        replicated in plain JAX (the cone path draws its uniforms on the
+        unsorted padded wavefront, _stratified_dirs)."""
         from lucille_tpu.accel.pallas_bvh import (
             _R2_A1,
             _R2_A2,
             pallas_bvh_ao_occlusion,
         )
-        from lucille_tpu.accel.pallas_ao import (
-            compaction_order,
-            occlusion_test_reference,
-        )
+        from lucille_tpu.accel.pallas_ao import occlusion_test_reference
         from lucille_tpu.transport.ao import ortho_basis
 
         v0, v1, v2 = _random_soup(900, seed=5)
@@ -114,29 +110,22 @@ class TestAOKernelParity:
             sc, P, b0, b1, b2, hit, key, ntheta, nphi
         )
 
-        # replicate the kernel's jitter scheme exactly: per-lane uniforms
-        # indexed by COMPACTED position, CP-rotated by the R2 sequence
+        # cone path: padded arrays, uniforms drawn over ALL Bpad lanes
         Bpad = 256
         hit_w = jnp.zeros((Bpad,), hit.dtype).at[:B].set(hit)
         pad3 = lambda a: jnp.zeros((Bpad, 3), a.dtype).at[:B].set(a)
         Pp, b0p, b1p, b2p = pad3(P), pad3(b0), pad3(b1), pad3(b2)
-        order, _ = compaction_order(sc, Pp, b2p, hit_w, 1 << 20)
-        u = jnp.zeros((2, Bpad)).at[:, :B].set(
-            jax.random.uniform(key, (2, B), dtype=jnp.float32)
-        )
+        u = np.asarray(jax.random.uniform(key, (2, Bpad), dtype=jnp.float32))
         v1w = sc.tri_v0 + sc.tri_e1
         v2w = sc.tri_v0 + sc.tri_e2
         occ_ref = np.zeros(Bpad, np.float32)
-        Ps = np.asarray(Pp)[np.asarray(order)]
-        b0s = np.asarray(b0p)[np.asarray(order)]
-        b1s = np.asarray(b1p)[np.asarray(order)]
-        b2s = np.asarray(b2p)[np.asarray(order)]
-        hs = np.asarray(hit_w)[np.asarray(order)]
+        b0n, b1n, b2n = np.asarray(b0p), np.asarray(b1p), np.asarray(b2p)
+        hs = np.asarray(hit_w)
         for s in range(ntheta * nphi):
             sh0 = (s * _R2_A1) % 1.0
             sh1 = (s * _R2_A2) % 1.0
-            u0 = (np.asarray(u[0]) + sh0) % 1.0
-            u1 = (np.asarray(u[1]) + sh1) % 1.0
+            u0 = (u[0] + sh0) % 1.0
+            u1 = (u[1] + sh1) % 1.0
             fi, fj = s % ntheta, s // ntheta
             z0 = (fi + u0) / ntheta
             z1 = (fj + u1) / nphi
@@ -145,19 +134,16 @@ class TestAOKernelParity:
             lx = np.cos(phi) * cos_t
             ly = np.sin(phi) * cos_t
             lz = np.sqrt(np.maximum(1 - z0, 0))
-            d = lx[:, None] * b0s + ly[:, None] * b1s + lz[:, None] * b2s
+            d = lx[:, None] * b0n + ly[:, None] * b1n + lz[:, None] * b2n
             occd = occlusion_test_reference(
-                jnp.asarray(Ps), jnp.asarray(d), sc.tri_v0, v1w, v2w
+                jnp.asarray(Pp), jnp.asarray(d), sc.tri_v0, v1w, v2w
             )
             occ_ref += np.asarray(occd) & hs
-        # scatter back to raster order
-        back = np.zeros(Bpad, np.float32)
-        back[np.asarray(order)] = occ_ref
         got = np.asarray(occ)
         # the kernel uses the MT formulation, the oracle signed-volume:
         # they agree except within float rounding of hit boundaries
-        assert np.abs(got - back[:B]).max() <= 1.0
-        assert np.abs(got - back[:B]).mean() < 0.1
+        assert np.abs(got - occ_ref[:B]).max() <= 1.0
+        assert np.abs(got - occ_ref[:B]).mean() < 0.1
 
     def test_ao_radiance_uses_pbvh_kernel(self):
         """ao_radiance on a pbvh scene matches the plain scan AO path on a
@@ -203,8 +189,8 @@ class TestHBMStreaming:
         v0, v1, v2 = _random_soup(800, seed=13)
         sc = _scene(v0, v1, v2, "bvh")
         org, dirn = self._rays(256)
-        occ_v = _pallas_bvh_any_hit(sc, org, dirn, None, True, False)
-        occ_h = _pallas_bvh_any_hit(sc, org, dirn, None, True, True)
+        occ_v, _ = _pallas_bvh_any_hit(sc, org, dirn, None, True, False)
+        occ_h, _ = _pallas_bvh_any_hit(sc, org, dirn, None, True, True)
         np.testing.assert_array_equal(np.asarray(occ_v), np.asarray(occ_h))
 
     def test_closest_parity_hbm(self):
