@@ -79,7 +79,10 @@ def _sample_one_light(scene, lights, P, N, key):
         col = jnp.asarray(light.color, jnp.float32) * light.intensity
 
         if light.type in (LIGHT_DISTANT, LIGHT_SUN):
-            wi = -jnp.asarray(light.direction, jnp.float32)
+            # distant: direction = shine direction -> wi = -d; sunlight
+            # stores sun_dir (toward the sun, lightsource.c:155-158)
+            sgn = 1.0 if light.type == LIGHT_SUN else -1.0
+            wi = sgn * jnp.asarray(light.direction, jnp.float32)
             wi = jnp.broadcast_to(
                 wi / jnp.maximum(jnp.linalg.norm(wi), 1e-20), P.shape
             )
@@ -133,19 +136,25 @@ def path_radiance(
     bgcolor=(0.0, 0.0, 0.0),
     textures=None,
 ):
-    """Path-traced radiance for a wavefront (org, dirn) of (B, 3)."""
-    B = org.shape[0]
-    radiance = jnp.zeros((B, 3), jnp.float32)
-    throughput = jnp.ones((B, 3), jnp.float32)
-    active = jnp.ones((B,), bool)
-    nrays = 0
-    first_hit = None
+    """Path-traced radiance for a wavefront (org, dirn) of (B, 3).
 
-    for depth in range(max_depth):
+    Bounces past the first run under ``lax.cond`` on ``any(active)``:
+    once Russian roulette has killed every lane the remaining bounce
+    bodies (closest hit + NEE shadow wavefronts) are skipped at run
+    time — the static-shape analog of wavefront compaction.  Ray
+    accounting matches raytrace.c:96: bounce rays while live, plus one
+    NEE shadow ray per shaded hit.
+    """
+    B = org.shape[0]
+    has_nee = any(
+        l.type in (LIGHT_DISTANT, LIGHT_SUN, LIGHT_POINT, LIGHT_AREA)
+        for l in (lights or ())
+    )
+
+    def bounce(state, depth, last):
+        radiance, throughput, active, org, dirn, nrays = state
         res = closest_hit(scene, org, dirn)
-        nrays += B
-        if first_hit is None:
-            first_hit = res["hit"]
+        nrays = nrays + B
         hit = res["hit"] & active
         h = interp_hit(scene, res, org, dirn)
         N = face_forward(h["Ns"], dirn)
@@ -178,9 +187,11 @@ def path_radiance(
         radiance = radiance + jnp.where(
             hit[:, None], throughput * f_l * nee, 0.0
         )
+        if has_nee:  # the NEE shadow ray (raytrace.c:96 accounting)
+            nrays = nrays + jnp.sum(hit.astype(jnp.int32))
 
-        if depth == max_depth - 1:
-            break
+        if last:
+            return (radiance, throughput, active, org, dirn, nrays), res
 
         # continuation: cosine-weighted diffuse bounce
         ur = jax.random.uniform(
@@ -209,6 +220,29 @@ def path_radiance(
 
         org = jnp.where(hit[:, None], P + N * scene.eps, org)
         dirn = jnp.where(hit[:, None], new_dir, dirn)
-        active = hit
+        return (radiance, throughput, hit, org, dirn, nrays), res
 
-    return radiance, {"nrays": nrays, "hit": first_hit}
+    state = (
+        jnp.zeros((B, 3), jnp.float32),
+        jnp.ones((B, 3), jnp.float32),
+        jnp.ones((B,), bool),
+        org,
+        dirn,
+        jnp.int32(0),
+    )
+    state, res0 = bounce(state, 0, last=(max_depth == 1))
+    first_hit = res0["hit"]
+    eye_t = res0["t"]
+
+    for depth in range(1, max_depth):
+        last = depth == max_depth - 1
+
+        def live_body(s, depth=depth, last=last):
+            return bounce(s, depth, last)[0]
+
+        state = jax.lax.cond(
+            jnp.any(state[2]), live_body, lambda s: s, state
+        )
+
+    radiance, _tp, _act, _o, _d, nrays = state
+    return radiance, {"nrays": nrays, "hit": first_hit, "t": eye_t}

@@ -140,6 +140,7 @@ def _shade_wavefront(
         "nrays": B,
         "ntests": res["ntests"],
         "ntrav": res["ntrav"],
+        "t": res["t"],
     }
 
 

@@ -10,6 +10,16 @@ into BOTH reflection and refraction branches, a wavefront lane follows ONE
 stochastically-selected branch weighted by the Fresnel coefficients
 (standard GPU/wavefront practice) — the estimator's expectation is the
 same; variance moves into the sample dimension where the TPU is fast.
+
+Wavefront compaction: bounces past the first run under ``lax.cond`` on
+``any(active)`` — when every lane has terminated (a matte scene kills all
+lanes after depth 0) the remaining bounce bodies, including their shadow
+wavefronts, are skipped AT RUN TIME, not merely masked.
+
+Ray accounting matches raytrace.c:96 (every traced ray counts): bounce
+rays count only while any lane is active, and the diffuse/specular shadow
+rays count per shaded hit — the reference's diffuse() traces the same
+shadow rays through ri_raytrace (shader.c:504-633).
 """
 
 from __future__ import annotations
@@ -18,7 +28,11 @@ import jax
 import jax.numpy as jnp
 
 from lucille_tpu.accel.dispatch import closest_hit
-from lucille_tpu.lights.sampling import direct_diffuse, direct_specular
+from lucille_tpu.lights.sampling import (
+    direct_diffuse,
+    direct_specular,
+    shadow_rays_per_hit,
+)
 from lucille_tpu.shading.reflection import fresnel, reflect
 from lucille_tpu.transport.common import (
     background_radiance,
@@ -39,14 +53,12 @@ def whitted_radiance(
 ):
     """Wavefront Whitted integrator.  org/dirn (B, 3) -> (radiance, aux)."""
     B = org.shape[0]
-    radiance = jnp.zeros((B, 3), jnp.float32)
-    throughput = jnp.ones((B, 3), jnp.float32)
-    active = jnp.ones((B,), bool)
-    nrays = 0
+    nshadow = shadow_rays_per_hit(lights)
 
-    for depth in range(max_depth):
+    def bounce(state, depth, last):
+        radiance, throughput, active, org, dirn, nrays = state
         res = closest_hit(scene, org, dirn)
-        nrays += B
+        nrays = nrays + B
         hit = res["hit"] & active
         h = interp_hit(scene, res, org, dirn)
         N = face_forward(h["Ns"], dirn)
@@ -74,9 +86,11 @@ def whitted_radiance(
         ks = h["ks"][:, None]
         local = base * kd * diff + ks * spec
         radiance = radiance + jnp.where(hit[:, None], throughput * local, 0.0)
+        # shadow rays traced by diffuse()/specular() (shader.c:504-633)
+        nrays = nrays + jnp.sum(hit.astype(jnp.int32)) * nshadow
 
-        if depth == max_depth - 1:
-            break
+        if last:
+            return (radiance, throughput, active, org, dirn, nrays), res
 
         # continuation: specular reflect/refract via Fresnel-weighted
         # stochastic selection (see module docstring)
@@ -99,6 +113,32 @@ def whitted_radiance(
         off = jnp.where(choose_refract[:, None], -N, N) * scene.eps
         org = jnp.where(cont[:, None], P + off, org)
         dirn = jnp.where(cont[:, None], new_dir, dirn)
-        active = cont
+        return (radiance, throughput, cont, org, dirn, nrays), res
 
-    return radiance, {"nrays": nrays, "hit": res["hit"]}
+    state = (
+        jnp.zeros((B, 3), jnp.float32),
+        jnp.ones((B, 3), jnp.float32),
+        jnp.ones((B,), bool),
+        org,
+        dirn,
+        jnp.int32(0),
+    )
+    # eye bounce always runs; its hit mask/depth feed alpha + atmosphere
+    state, res0 = bounce(state, 0, last=(max_depth == 1))
+    first_hit = res0["hit"]
+    eye_t = res0["t"]
+
+    for depth in range(1, max_depth):
+        last = depth == max_depth - 1
+
+        def live_body(s, depth=depth, last=last):
+            return bounce(s, depth, last)[0]
+
+        # run-time skip: a bounce with zero active lanes executes nothing
+        # (the wavefront-compaction analog for static shapes)
+        state = jax.lax.cond(
+            jnp.any(state[2]), live_body, lambda s: s, state
+        )
+
+    radiance, _tp, _act, _o, _d, nrays = state
+    return radiance, {"nrays": nrays, "hit": first_hit, "t": eye_t}
