@@ -30,6 +30,31 @@ def scene_with_params(scene, params: dict):
     return dataclasses.replace(scene, **updates)
 
 
+def lights_with_params(lights, params: dict):
+    """LightTables view with traced per-light color/intensity swapped in.
+
+    params may contain "light_color" (L, 3) and/or "light_intensity"
+    (L,).  Integrators consume light.color via jnp.asarray, so traced
+    leaves flow straight through the unrolled light loop — gradients
+    w.r.t. light parameters come from the same backward pass
+    (BASELINE config 5 "BRDF + light params")."""
+    lc = params.get("light_color")
+    li = params.get("light_intensity")
+    if lc is None and li is None:
+        return lights
+    from lucille_tpu.lights.tables import LightTables
+
+    new = []
+    for i, light in enumerate(lights):
+        kw = {}
+        if lc is not None:
+            kw["color"] = lc[i]
+        if li is not None:
+            kw["intensity"] = li[i]
+        new.append(dataclasses.replace(light, **kw))
+    return LightTables(new)
+
+
 def differentiable_render(
     scene,
     lights,
@@ -62,13 +87,21 @@ def differentiable_render(
 
     param_template = {
         "mat_kd": scene.mat_kd,
+        "mat_ks": scene.mat_ks,
         "mat_color": scene.mat_color,
         "mat_emission": scene.mat_emission,
+        "light_color": jnp.asarray(
+            np.array([l.color for l in lights], np.float32)
+        ),
+        "light_intensity": jnp.asarray(
+            np.array([l.intensity for l in lights], np.float32)
+        ),
     }
 
     @jax.jit
     def render_fn(params, k):
         sc = scene_with_params(scene, params)
+        lt = lights_with_params(lights, params)
         acc = jnp.zeros((height, width, 3), jnp.float32)
         for s in range(spp):
             ks = jax.random.fold_in(k, s)
@@ -78,7 +111,7 @@ def differentiable_render(
                 (xs + ux).reshape(-1), (ys + uy).reshape(-1)
             )
             radiance, _aux = integrator(
-                sc, lights, org, dirn, ks, max_depth=max_depth
+                sc, lt, org, dirn, ks, max_depth=max_depth
             )
             acc = acc + radiance.reshape(height, width, 3)
         return acc / spp

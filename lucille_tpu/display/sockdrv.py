@@ -41,10 +41,40 @@ class SocketDriver(DisplayDriver):
         self.host = host
         self.port = port
         self.sock: socket.socket | None = None
+        self._viewer = None  # auto-spawned rockenfield process
+
+    def _spawn_viewer(self) -> bool:
+        """Launch tools_tpu/rockenfield.py as the progressive viewer
+        (the reference's viewer-fork, sockdrv.c:154-190).  Disable with
+        LUCILLE_NO_SPAWN_VIEWER=1 (tests, headless batch jobs)."""
+        import os
+        import subprocess
+        import sys
+        from pathlib import Path
+
+        if os.environ.get("LUCILLE_NO_SPAWN_VIEWER") == "1":
+            return False
+        script = Path(__file__).resolve().parents[2] / "tools_tpu" / "rockenfield.py"
+        if not script.exists():
+            return False
+        try:
+            self._viewer = subprocess.Popen(
+                [sys.executable, str(script), "--port", str(self.port)],
+                stdin=subprocess.DEVNULL,
+            )
+        except OSError as e:
+            log(LOG_WARN, "cannot spawn viewer: %s", e)
+            return False
+        log(LOG_INFO, "spawned rockenfield viewer (pid %d) on port %d",
+            self._viewer.pid, self.port)
+        return True
 
     def open(self, fname, width, height):
         super().open(fname, width, height)
-        # connect-with-retry (sockdrv.c:154-190)
+        # connect-with-retry; when nothing listens locally, auto-spawn the
+        # rockenfield viewer first, exactly like the reference forks its
+        # viewer and retries (sockdrv.c:154-190)
+        spawned = False
         deadline = time.time() + 5.0
         while time.time() < deadline:
             try:
@@ -53,6 +83,10 @@ class SocketDriver(DisplayDriver):
                 )
                 break
             except OSError:
+                if not spawned and self.host in ("127.0.0.1", "localhost"):
+                    spawned = True
+                    if self._spawn_viewer():
+                        deadline = time.time() + 5.0
                 time.sleep(0.2)
         if self.sock is None:
             log(LOG_WARN, "socket display: no viewer on %s:%d", self.host, self.port)
@@ -92,3 +126,9 @@ class SocketDriver(DisplayDriver):
             except OSError:
                 pass
             self.sock = None
+        if self._viewer is not None:
+            try:  # let the spawned viewer finish its final frame dump
+                self._viewer.wait(timeout=5)
+            except Exception:
+                self._viewer.terminate()
+            self._viewer = None

@@ -90,6 +90,22 @@ def barrier(name: str = "frame") -> None:
     multihost_utils.sync_global_devices(name)
 
 
+def broadcast_from_primary(tree):
+    """Broadcast host-0's pytree of numpy arrays to every process — the
+    MPI_Bcast analog (parallel.c:150).  Used to ship the checkpoint
+    done-bitmap + accumulated image at frame start so every process skips
+    the SAME tiles under ``--recover`` (the checkpoint file may exist
+    only on host 0's filesystem).  Single-process: identity."""
+    if process_count() == 1:
+        return tree
+    import jax
+    import numpy as np
+    from jax.experimental import multihost_utils
+
+    out = multihost_utils.broadcast_one_to_all(tree)
+    return jax.tree_util.tree_map(np.asarray, out)
+
+
 def all_gather_host(x):
     """Materialize a (possibly globally-sharded) device array on THIS host
     as numpy — the MPI_Gather-to-rank-0 analog (parallel.c:117), except
