@@ -19,7 +19,11 @@ def _pallas_ok(scene, B, tmax, tmin) -> bool:
     return B % RAY_BLOCK == 0 and tmin == 0.0 and tmax is None
 
 
-def closest_hit(scene, org, dirn, tmax=None, tmin: float = 0.0):
+def closest_hit(scene, org, dirn, tmax=None, tmin: float = 0.0, active=None):
+    """active: optional (B,) live-lane mask.  The dense Pallas path
+    compacts live lanes to the front and skips dead RAY_BLOCKs outright
+    (wavefront compaction for bounce wavefronts); other accels ignore it
+    — dead lanes still report valid (unused) results there."""
     if scene.accel == "pbvh" and scene.n_nodes > 0:
         from lucille_tpu.accel.pallas_bvh import pallas_bvh_closest_hit
 
@@ -34,14 +38,16 @@ def closest_hit(scene, org, dirn, tmax=None, tmin: float = 0.0):
         if _pallas_ok(scene, org.shape[0], tmax, tmin):
             from lucille_tpu.accel.pallas_isect import pallas_closest_hit
 
-            return pallas_closest_hit(scene, org, dirn)
+            return pallas_closest_hit(scene, org, dirn, active=active)
         return mxu.mxu_closest_hit(scene, org, dirn, tmax=tmax, tmin=tmin)
     if scene.accel == "mxu":
         return mxu.mxu_closest_hit(scene, org, dirn, tmax=tmax, tmin=tmin)
     return bruteforce.brute_closest_hit(scene, org, dirn, tmax=tmax, tmin=tmin)
 
 
-def any_hit(scene, org, dirn, tmax=None, tmin: float = 0.0):
+def any_hit(scene, org, dirn, tmax=None, tmin: float = 0.0, active=None):
+    """active: see closest_hit — dead lanes report unoccluded on the
+    compacted Pallas path (callers mask by their own live mask)."""
     if scene.accel == "pbvh" and scene.n_nodes > 0:
         from lucille_tpu.accel.pallas_bvh import pallas_bvh_any_hit
 
@@ -56,7 +62,7 @@ def any_hit(scene, org, dirn, tmax=None, tmin: float = 0.0):
         from lucille_tpu.accel.pallas_isect import RAY_BLOCK, pallas_any_hit
 
         if org.shape[0] % RAY_BLOCK == 0 and tmin == 0.0:
-            return pallas_any_hit(scene, org, dirn, tmax=tmax)
+            return pallas_any_hit(scene, org, dirn, tmax=tmax, active=active)
         return mxu.mxu_any_hit(scene, org, dirn, tmax=tmax, tmin=tmin)
     if scene.accel == "mxu":
         return mxu.mxu_any_hit(scene, org, dirn, tmax=tmax, tmin=tmin)

@@ -78,8 +78,18 @@ from lucille_tpu.accel.bruteforce import DET_EPS
 from lucille_tpu.accel.pallas_isect import SUPER as _SUPER
 
 # triangle tile height in the occlusion loop (sublane dimension); the
-# padded count wastes at most TC_OCC-1 triangles
+# padded count wastes at most TC_OCC-1 triangles.  Finer tiles give the
+# per-(tile, stratum) slab cull tighter boxes (Morton-sorted triangles
+# make 32-tri boxes much smaller than 128-tri ones) at the price of 4x
+# the per-tile fixed cost — LUCILLE_AO_TC selects; see docs/performance.md
+# for the measured sweep.
 TC_OCC = 128
+
+
+def _tc_occ() -> int:
+    import os
+
+    return int(os.environ.get("LUCILLE_AO_TC", TC_OCC))
 
 # rays per grid step — larger than the closest-hit kernel's block so the
 # fixed per-step cost (DMA issue, grid bookkeeping) amortizes; the
@@ -111,21 +121,27 @@ def _ao_kernel(
     sboxes_ref,
     tris_ref,
     occ_ref,
-    wx_ref,
-    wy_ref,
-    wz_ref,
-    flag_ref,
-    ix_ref,
-    iy_ref,
-    iz_ref,
-    *,
+    *rest,
     n_tri_tiles,
     n_super,
     ntheta,
     nphi,
+    tc=TC_OCC,
+    want_bits=False,
 ):
     nsamples = ntheta * nphi
     rb = rays_ref.shape[1]
+    if want_bits:
+        # second OUTPUT: per-stratum occlusion bitmask, 32 strata per i32
+        # row (the sunsky-AO gather needs per-ray visibility, not just
+        # the count — ambientocclusion.c:154-332 accumulates sky radiance
+        # along each unoccluded stratum)
+        bits_ref, *rest = rest
+        n_bit_rows = bits_ref.shape[0]
+        bits_ref[:, :] = jnp.zeros((n_bit_rows, rb), jnp.int32)
+    else:
+        bits_ref = None
+    (wx_ref, wy_ref, wz_ref, flag_ref, ix_ref, iy_ref, iz_ref) = rest
 
     # inactive blocks (compaction moved every live lane below nact) write
     # zeros and skip all compute; their DMA cost is negligible
@@ -207,7 +223,7 @@ def _ao_kernel(
         hit_row_m = rays_ref[12:13, :]
 
         def tile_body(ti, _):
-            base = ti * TC_OCC
+            base = ti * tc
             cx = jnp.where(b2x > 0, boxes_ref[3, ti], boxes_ref[0, ti])
             cy = jnp.where(b2y > 0, boxes_ref[4, ti], boxes_ref[1, ti])
             cz = jnp.where(b2z > 0, boxes_ref[5, ti], boxes_ref[2, ti])
@@ -231,18 +247,18 @@ def _ao_kernel(
             bmaxz = boxes_ref[5, ti]
             # (1, TC) row slices -> (TC, 1) columns, 12 transposes per
             # tile (vs 3 per stratum per tile ray-major)
-            v0x = tris_ref[0, pl.ds(base, TC_OCC)][:, None]
-            v0y = tris_ref[1, pl.ds(base, TC_OCC)][:, None]
-            v0z = tris_ref[2, pl.ds(base, TC_OCC)][:, None]
-            v1x = tris_ref[3, pl.ds(base, TC_OCC)][:, None]
-            v1y = tris_ref[4, pl.ds(base, TC_OCC)][:, None]
-            v1z = tris_ref[5, pl.ds(base, TC_OCC)][:, None]
-            v2x = tris_ref[6, pl.ds(base, TC_OCC)][:, None]
-            v2y = tris_ref[7, pl.ds(base, TC_OCC)][:, None]
-            v2z = tris_ref[8, pl.ds(base, TC_OCC)][:, None]
-            nx = tris_ref[9, pl.ds(base, TC_OCC)][:, None]
-            ny = tris_ref[10, pl.ds(base, TC_OCC)][:, None]
-            nz = tris_ref[11, pl.ds(base, TC_OCC)][:, None]
+            v0x = tris_ref[0, pl.ds(base, tc)][:, None]
+            v0y = tris_ref[1, pl.ds(base, tc)][:, None]
+            v0z = tris_ref[2, pl.ds(base, tc)][:, None]
+            v1x = tris_ref[3, pl.ds(base, tc)][:, None]
+            v1y = tris_ref[4, pl.ds(base, tc)][:, None]
+            v1z = tris_ref[5, pl.ds(base, tc)][:, None]
+            v2x = tris_ref[6, pl.ds(base, tc)][:, None]
+            v2y = tris_ref[7, pl.ds(base, tc)][:, None]
+            v2z = tris_ref[8, pl.ds(base, tc)][:, None]
+            nx = tris_ref[9, pl.ds(base, tc)][:, None]
+            ny = tris_ref[10, pl.ds(base, tc)][:, None]
+            nz = tris_ref[11, pl.ds(base, tc)][:, None]
 
             # origin-only terms, once per (triangle, ray): vertex offsets,
             # their pairwise cross products, and the plane distance sign
@@ -354,6 +370,21 @@ def _ao_kernel(
 
         hit_row = rays_ref[12:13, :]  # primary-hit mask
         occ_ref[:, :] = jnp.sum(flag_ref[:, :], axis=0, keepdims=True) * hit_row
+        if want_bits:
+            n_bit_rows = bits_ref.shape[0]
+            for r in range(n_bit_rows):  # static tiny unroll (<= 2 for 64)
+                lo = r * 32
+                hi = min(lo + 32, nsamples)
+
+                def packone(s, acc, lo=lo):
+                    b = (flag_ref[pl.ds(s, 1), :] > 0.5).astype(jnp.int32)
+                    # scalar dynamic shift, vector multiply (Mosaic-safe)
+                    return acc | (b * (jnp.int32(1) << (s - lo)))
+
+                acc = jax.lax.fori_loop(
+                    lo, hi, packone, jnp.zeros((1, rb), jnp.int32)
+                )
+                bits_ref[pl.ds(r, 1), :] = acc
 
 
 def occlusion_test_reference(org, dirn, v0, v1, v2):
@@ -439,13 +470,13 @@ def partition_order(hit):
     return order, nhit
 
 
-def _pack_occ(scene):
+def _pack_occ(scene, tc: int = TC_OCC):
     """Scene SoA -> (16, Npad) f32 occlusion matrix, rows [v0|v1|v2|n].
 
     Padding rows are all-zero triangles: every triple product vanishes,
     `s_n * dn = 0` is not > 0, so pads can never occlude."""
     n = scene.tri_v0.shape[0]
-    npad = -(-n // TC_OCC) * TC_OCC
+    npad = -(-n // tc) * tc
     v1 = scene.tri_v0 + scene.tri_e1
     v2 = scene.tri_v0 + scene.tri_e2
     nrm = jnp.cross(scene.tri_e1, scene.tri_e2)
@@ -478,20 +509,41 @@ def pallas_ao_occlusion(
     """
     if interpret is None:
         interpret = jax.default_backend() == "cpu"
+    occ, _bits, _u = _pallas_ao_occlusion(
+        scene, P_off, b0, b1, b2, hit, key, ntheta, nphi, interpret,
+        _tc_occ(), False,
+    )
+    return occ
+
+
+def pallas_ao_occlusion_bits(
+    scene, P_off, b0, b1, b2, hit, key, ntheta: int, nphi: int,
+    interpret: bool | None = None,
+):
+    """Sunsky-AO entry: like pallas_ao_occlusion but ALSO returns
+    (bits (ceil(S/32), B) i32 raster-order per-stratum occlusion masks,
+    u01 (2, B) per-lane jitter) so the caller can recompute the exact
+    in-kernel stratified directions and weight each unoccluded stratum
+    by sky radiance (ambientocclusion.c:154-332, TPU-shaped)."""
+    if interpret is None:
+        interpret = jax.default_backend() == "cpu"
     return _pallas_ao_occlusion(
-        scene, P_off, b0, b1, b2, hit, key, ntheta, nphi, interpret
+        scene, P_off, b0, b1, b2, hit, key, ntheta, nphi, interpret,
+        _tc_occ(), True,
     )
 
 
-@partial(jax.jit, static_argnames=("ntheta", "nphi", "interpret"))
+@partial(jax.jit,
+         static_argnames=("ntheta", "nphi", "interpret", "tc", "want_bits"))
 def _pallas_ao_occlusion(
-    scene, P_off, b0, b1, b2, hit, key, ntheta, nphi, interpret
+    scene, P_off, b0, b1, b2, hit, key, ntheta, nphi, interpret, tc=TC_OCC,
+    want_bits=False,
 ):
     B = P_off.shape[0]
     Bpad = -(-B // AO_RAY_BLOCK) * AO_RAY_BLOCK
     nsamples = ntheta * nphi
-    tris, npad = _pack_occ(scene)
-    n_tri_tiles = npad // TC_OCC
+    tris, npad = _pack_occ(scene, tc)
+    n_tri_tiles = npad // tc
 
     # ---- hit compaction: stable-partition live lanes to the front.
     # Wavefront pad lanes (Bpad > B) carry hit=False, so they compact to
@@ -532,7 +584,7 @@ def _pallas_ao_occlusion(
     grid = (Bpad // AO_RAY_BLOCK,)
     from lucille_tpu.accel.pallas_isect import _pack_boxes, _pack_super_boxes
 
-    boxes = _pack_boxes(scene, npad)
+    boxes = _pack_boxes(scene, npad, tc)
     sboxes, n_super = _pack_super_boxes(boxes, n_tri_tiles)
 
     kernel = partial(
@@ -541,11 +593,22 @@ def _pallas_ao_occlusion(
         n_super=n_super,
         ntheta=ntheta,
         nphi=nphi,
+        tc=tc,
+        want_bits=want_bits,
     )
     # wx/wy/wz directions, flags, and reciprocal-direction rows
     scratch_shapes = [pltpu.VMEM((nsamples, AO_RAY_BLOCK), jnp.float32)] * 7
 
-    occ_sorted = pl.pallas_call(
+    n_bit_rows = -(-nsamples // 32)
+    out_specs = [spec((1, AO_RAY_BLOCK), lambda i: (0, i))]
+    out_shape = [jax.ShapeDtypeStruct((1, Bpad), jnp.float32)]
+    if want_bits:
+        out_specs.append(spec((n_bit_rows, AO_RAY_BLOCK), lambda i: (0, i)))
+        out_shape.append(
+            jax.ShapeDtypeStruct((n_bit_rows, Bpad), jnp.int32)
+        )
+
+    outs = pl.pallas_call(
         kernel,
         grid=grid,
         in_specs=[
@@ -556,11 +619,23 @@ def _pallas_ao_occlusion(
             pl.BlockSpec(memory_space=pltpu.SMEM),
             spec((16, npad), lambda i: (0, 0)),
         ],
-        out_specs=spec((1, AO_RAY_BLOCK), lambda i: (0, i)),
-        out_shape=jax.ShapeDtypeStruct((1, Bpad), jnp.float32),
+        out_specs=out_specs if want_bits else out_specs[0],
+        out_shape=out_shape if want_bits else out_shape[0],
         scratch_shapes=scratch_shapes,
         interpret=interpret,
     )(nact, rays, jitter, boxes, sboxes, tris)
+    occ_sorted = outs[0] if want_bits else outs
     # scatter occlusion counts back to raster order
     occ = jnp.zeros((Bpad,), jnp.float32).at[order].set(occ_sorted[0])
-    return occ[:B]
+    if not want_bits:
+        return occ[:B], None, None
+    bits_sorted = outs[1]
+    bits = (
+        jnp.zeros((n_bit_rows, Bpad), jnp.int32)
+        .at[:, order]
+        .set(bits_sorted)
+    )
+    # per-lane jitter back in raster order: compacted column j belongs to
+    # raster lane order[j]
+    u_r = jnp.zeros((2, Bpad), jnp.float32).at[:, order].set(jitter[0:2])
+    return occ[:B], bits[:, :B], u_r[:, :B]

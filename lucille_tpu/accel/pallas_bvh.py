@@ -196,8 +196,23 @@ def _cache_init(tag_ref):
         jax.lax.fori_loop(0, CACHE_SLOTS, clr, 0)
 
 
+def _tile_cull_on() -> bool:
+    """Per-tile bbox culling inside leaves (LUCILLE_BVH_TILE_CULL=1).
+
+    Leaves hold 2+ tiles when the node budget forces big leaves (a 1M-tri
+    scene lands at 512-tri = 4-tile leaves); a per-tile slab test can
+    skip the (TC, RB) MT — and, on the HBM path, the tile's DMA — when
+    no live lane reaches the tile's bbox.  Costs one vector->scalar sync
+    (~175 cy) against an MT tile test (~310 cy) + possible DMA, so it
+    pays only when the per-leaf live-tile fraction is low; OFF by
+    default until measured per scene class (docs/performance.md)."""
+    import os
+
+    return os.environ.get("LUCILLE_BVH_TILE_CULL", "0") == "1"
+
+
 def _foreach_leaf_tile(tris_ref, cache, sem, tag_ref, pend_ref, cnt_ref,
-                       first, ltiles, mt_on, *, hbm):
+                       first, ltiles, mt_on, *, hbm, cull=None):
     """Run mt_on(cols, base) for every 128-triangle tile of a leaf.
 
     VMEM-resident scenes read tiles straight out of tris_ref.  HBM scenes
@@ -217,8 +232,16 @@ def _foreach_leaf_tile(tris_ref, cache, sem, tag_ref, pend_ref, cnt_ref,
     if not hbm:
 
         def body(k, _):
-            base = (first + k) * TC
-            mt_on(_load_tile_cols(tris_ref, base, rows), base)
+            tile = first + k
+            base = tile * TC
+            if cull is None:
+                mt_on(_load_tile_cols(tris_ref, base, rows), base)
+            else:
+
+                @pl.when(cull(tile))
+                def _():
+                    mt_on(_load_tile_cols(tris_ref, base, rows), base)
+
             return 0
 
         jax.lax.fori_loop(0, ltiles, body, 0)
@@ -233,9 +256,14 @@ def _foreach_leaf_tile(tris_ref, cache, sem, tag_ref, pend_ref, cnt_ref,
 
     def issue(k, _):
         tile = first + k
+        # culled tiles skip BOTH the DMA and the MT (pend = 2): the
+        # per-tile bbox test saves HBM bandwidth, not just VPU work
+        live = jnp.bool_(True) if cull is None else cull(tile)
         slot = jax.lax.rem(tile, jnp.int32(CACHE_SLOTS))
-        miss = tag_ref[slot] != tile + 1  # 0 = empty (see _cache_init)
-        pend_ref[k] = miss.astype(jnp.int32)
+        miss = live & (tag_ref[slot] != tile + 1)  # 0 = empty (_cache_init)
+        pend_ref[k] = jnp.where(
+            live, miss.astype(jnp.int32), jnp.int32(2)
+        )
 
         @pl.when(miss)
         def _():
@@ -256,10 +284,14 @@ def _foreach_leaf_tile(tris_ref, cache, sem, tag_ref, pend_ref, cnt_ref,
         def _():
             tile_dma(k, tile, slot).wait()
 
-        cols = [
-            cache[pl.ds(row0 + r, 1), :].reshape(TC)[:, None] for r in rows
-        ]
-        mt_on(cols, tile * TC)
+        @pl.when(pend_ref[k] != 2)
+        def _mt():
+            cols = [
+                cache[pl.ds(row0 + r, 1), :].reshape(TC)[:, None]
+                for r in rows
+            ]
+            mt_on(cols, tile * TC)
+
         return 0
 
     jax.lax.fori_loop(0, ltiles, body, 0)
@@ -534,8 +566,8 @@ def _pallas_bvh_closest_hit(scene, org, dirn, tmax=None, interpret=False,
 
 
 def _bvh_anyhit_kernel(
-    rays_ref, nbox_ref, nmeta_ref, tris_ref, occ_ref, stat_ref, stack_ref,
-    *scratch, n_nodes, hbm=False,
+    rays_ref, nbox_ref, nmeta_ref, tbox_ref, tris_ref, occ_ref, stat_ref,
+    stack_ref, *scratch, n_nodes, hbm=False, tcull=False,
 ):
     """Any-hit occlusion with ORDERED near-to-far stack traversal.
 
@@ -597,6 +629,16 @@ def _bvh_anyhit_kernel(
         any1 = jnp.any(hit, axis=0, keepdims=True)
         occ_ref[:, :] = jnp.maximum(occ_ref[0:1, :], any1.astype(jnp.float32))
 
+    def tile_cull(tile):
+        # per-tile slab test inside multi-tile leaves (_tile_cull_on):
+        # unoccluded live lanes must reach the TILE box, not just the leaf
+        tn, tf = _slab(tile, tbox_ref, ox, oy, oz, ivx, ivy, ivz)
+        return jnp.any(
+            (tn <= tf) & (tf > 0.0) & (tn < tmax) & (occ_ref[0:1, :] < 0.5)
+        )
+
+    cull = tile_cull if tcull else None
+
     # block mean-direction signs decide near-vs-far child per split axis
     sgx = (jnp.sum(dx) >= 0.0).astype(jnp.int32)
     sgy = (jnp.sum(dy) >= 0.0).astype(jnp.int32)
@@ -621,7 +663,7 @@ def _bvh_anyhit_kernel(
         def _leaf():
             _foreach_leaf_tile(
                 tris_ref, cache, sem, tag, pend, cnt, nmeta_ref[1, node],
-                ltiles, mt_on, hbm=hbm,
+                ltiles, mt_on, hbm=hbm, cull=cull,
             )
 
         descend = live & jnp.logical_not(leaf)
@@ -664,17 +706,29 @@ def pallas_bvh_any_hit(scene, org, dirn, tmax=None,
         interpret = jax.default_backend() == "cpu"
     if hbm is None:
         hbm = _use_hbm(_scene_npad(scene))
-    occ, _stats = _pallas_bvh_any_hit(scene, org, dirn, tmax, interpret, hbm)
+    occ, _stats = _pallas_bvh_any_hit(scene, org, dirn, tmax, interpret, hbm,
+                                      _tile_cull_on())
     return occ
 
 
-@partial(jax.jit, static_argnames=("interpret", "hbm"))
+def _tile_boxes(scene, npad, tcull: bool):
+    """(6, n_tiles) tile bboxes for in-leaf culling, or a (6, 1) dummy
+    when the cull is compiled out (keeps the SMEM footprint zero-cost)."""
+    if not tcull:
+        return jnp.zeros((6, 1), jnp.float32)
+    from lucille_tpu.accel.pallas_isect import _pack_boxes
+
+    return _pack_boxes(scene, npad)[0:6]
+
+
+@partial(jax.jit, static_argnames=("interpret", "hbm", "tcull"))
 def _pallas_bvh_any_hit(scene, org, dirn, tmax=None, interpret=False,
-                        hbm=False):
+                        hbm=False, tcull=False):
     from lucille_tpu.accel.pallas_isect import _pack
 
     tris, npad = _pack(scene)
     nbox, nmeta = _node_arrays(scene)
+    tbox = _tile_boxes(scene, npad, tcull)
     rays, B_real, B = _pad_rays(org, dirn, tmax)
 
     def spec(shape, index_map):
@@ -682,10 +736,12 @@ def _pallas_bvh_any_hit(scene, org, dirn, tmax=None, interpret=False,
 
     smem = pl.BlockSpec(memory_space=pltpu.SMEM)
     occ, stat = pl.pallas_call(
-        partial(_bvh_anyhit_kernel, n_nodes=scene.n_nodes, hbm=hbm),
+        partial(_bvh_anyhit_kernel, n_nodes=scene.n_nodes, hbm=hbm,
+                tcull=tcull),
         grid=(B // RAY_BLOCK,),
         in_specs=[
             spec((8, RAY_BLOCK), lambda i: (0, i)),
+            smem,
             smem,
             smem,
             _tris_spec(hbm, npad),
@@ -703,7 +759,7 @@ def _pallas_bvh_any_hit(scene, org, dirn, tmax=None, interpret=False,
         scratch_shapes=[pltpu.SMEM((192,), jnp.int32)]
         + _hbm_scratch(hbm, max(1, scene.leaf_tiles_max)),
         interpret=interpret,
-    )(rays, nbox, nmeta, tris)
+    )(rays, nbox, nmeta, tbox, tris)
     stats = stat[:, ::RAY_BLOCK].astype(jnp.float32).sum(axis=1)
     return occ[0, :B_real] > 0.5, stats
 
@@ -913,7 +969,7 @@ def pallas_bvh_ao_occlusion(
     if mode == "cone":
         return _pallas_bvh_ao_conetiled(
             scene, P_off, b0, b1, b2, hit, key, ntheta, nphi, interpret, hbm,
-            _cone_k(),
+            _cone_k(), _tile_cull_on(),
         )
     return _pallas_bvh_ao_occlusion(
         scene, P_off, b0, b1, b2, hit, key, ntheta, nphi, interpret, hbm,
@@ -1039,10 +1095,10 @@ def _cone_k() -> int:
 
 
 @partial(jax.jit,
-         static_argnames=("ntheta", "nphi", "interpret", "hbm", "K"))
+         static_argnames=("ntheta", "nphi", "interpret", "hbm", "K", "tcull"))
 def _pallas_bvh_ao_conetiled(
     scene, P_off, b0, b1, b2, hit, key, ntheta, nphi, interpret, hbm=False,
-    K=16,
+    K=16, tcull=False,
 ):
     """AO gather as (origin-patch x direction-cone) blocks.
 
@@ -1056,6 +1112,25 @@ def _pallas_bvh_ao_conetiled(
     key — round 2's frame-wide "rebinned" sort mixed origins from the
     whole image and measured worse; the fix is tiling, not sorting.
     """
+    oo, dd, order, layout = _conetile_rays(
+        scene, P_off, b0, b1, b2, hit, key, ntheta, nphi, K
+    )
+    NG, ST, K, G, S, Bpad, B = layout
+
+    occ_flat, stats = _pallas_bvh_any_hit(
+        scene, oo, dd, None, interpret, hbm, tcull
+    )
+    occ_g = (
+        occ_flat.astype(jnp.float32).reshape(NG, S, G).sum(axis=1).reshape(-1)
+    )
+    occ = jnp.zeros((Bpad,), jnp.float32).at[order].set(occ_g)
+    return occ[:B] * hit.astype(jnp.float32), stats
+
+
+def _conetile_rays(scene, P_off, b0, b1, b2, hit, key, ntheta, nphi, K):
+    """Shared cone-tiled block assembly: returns (origins (S*Bpad, 3),
+    dirs (S*Bpad, 3), origin sort order, layout tuple) with lane layout
+    (origin-group NG, stratum-tile ST, k, g)."""
     from lucille_tpu.accel.pallas_ao import compaction_order
 
     B = P_off.shape[0]
@@ -1098,13 +1173,42 @@ def _pallas_bvh_ao_conetiled(
     oo = jnp.broadcast_to(
         o_s.reshape(NG, 1, 1, G, 3), (NG, ST, K, G, 3)
     ).reshape(S * Bpad, 3)
+    return oo, dd, order, (NG, ST, K, G, S, Bpad, B)
 
-    occ_flat, stats = _pallas_bvh_any_hit(scene, oo, dd, None, interpret, hbm)
-    occ_g = (
-        occ_flat.astype(jnp.float32).reshape(NG, S, G).sum(axis=1).reshape(-1)
+
+def pallas_bvh_ao_sunsky(
+    scene, P_off, b0, b1, b2, hit, key, ntheta: int, nphi: int, sky,
+    interpret: bool | None = None,
+):
+    """Sunsky-AO gather on the cone-tiled tile-BVH path: per unoccluded
+    stratum accumulate the Preetham sky radiance along the gathered
+    direction (ambientocclusion.c:154-332's gather_sunsky), riding the
+    SAME any-hit block walk as plain AO — the per-(stratum, lane)
+    visibility exists in occ_flat before the plain path sums it away.
+    Returns (col (B, 3) summed sky radiance over unoccluded strata,
+    stats (3,))."""
+    if interpret is None:
+        interpret = jax.default_backend() == "cpu"
+    hbm = _use_hbm(_scene_npad(scene))
+    oo, dd, order, layout = _conetile_rays(
+        scene, P_off, b0, b1, b2, hit, key, ntheta, nphi, _cone_k()
     )
-    occ = jnp.zeros((Bpad,), jnp.float32).at[order].set(occ_g)
-    return occ[:B] * hit.astype(jnp.float32), stats
+    NG, ST, K, G, S, Bpad, B = layout
+    occ_flat, stats = _pallas_bvh_any_hit(
+        scene, oo, dd, None, interpret, hbm, _tile_cull_on()
+    )
+    vis = jnp.logical_not(occ_flat).astype(jnp.float32)
+    # world (y-up) -> sky model (z-up): the reference's y/z swap
+    # (lightsource.c:152-155)
+    d_sky = jnp.stack([dd[:, 0], dd[:, 2], dd[:, 1]], axis=-1)
+    skyv = sky.sky_rgb(d_sky)  # (S*Bpad, 3)
+    col_g = (vis[:, None] * skyv).reshape(NG, S, G, 3).sum(axis=1)
+    col = (
+        jnp.zeros((Bpad, 3), jnp.float32)
+        .at[order]
+        .set(col_g.reshape(-1, 3))
+    )
+    return col[:B] * hit.astype(jnp.float32)[:, None], stats
 
 
 @partial(jax.jit,

@@ -51,6 +51,7 @@ def _load_tile_cols(tris_ref, base, rows):
 
 
 def _isect_kernel(
+    nact_ref,
     rays_ref,
     boxes_ref,
     tris_ref,
@@ -72,7 +73,12 @@ def _isect_kernel(
     block can reach — the slab test also uses the block's current best t
     — is skipped whole via pl.when.  With triangles in spatial (Morton)
     order this is the wavefront analog of the reference's beam tracing
-    (bvh.c:545-668): one coherent bundle amortizes one culling test."""
+    (bvh.c:545-668): one coherent bundle amortizes one culling test.
+
+    nact_ref (SMEM (1,)): live-lane count.  Wavefronts compacted by an
+    active mask (bounce/shadow wavefronts, transport integrators) put
+    every live lane below nact; blocks entirely past it skip ALL tile
+    work and report misses — wavefront compaction for the dense path."""
     import jax.experimental.pallas as pl
 
     ox = rays_ref[0:1, :]  # (1, RB)
@@ -167,7 +173,12 @@ def _isect_kernel(
 
         return ntested + live.astype(jnp.int32)
 
-    ntested = jax.lax.fori_loop(0, n_tri_tiles, body, jnp.int32(0))
+    block_live = pl.program_id(0) * rays_ref.shape[1] < nact_ref[0]
+    ntested = jax.lax.cond(
+        block_live,
+        lambda: jax.lax.fori_loop(0, n_tri_tiles, body, jnp.int32(0)),
+        lambda: jnp.int32(0),
+    )
     t_ref[:, :] = t_s[:, :]
     u_ref[:, :] = u_s[:, :]
     v_ref[:, :] = v_s[:, :]
@@ -222,9 +233,11 @@ def _pack_super_boxes(boxes, n_tiles):
     return out, n_super
 
 
-def _pack_boxes(scene, npad):
+def _pack_boxes(scene, npad, tc: int = TC):
     """Per-tile AABBs -> (8, n_tiles) f32, rows [min xyz | max xyz | pad].
 
+    tc: triangles per tile (the occlusion megakernel passes its own,
+    possibly finer, tile height — see pallas_ao._tc_occ).
     Pad triangles (beyond scene.n_tris) contribute +inf/-inf, so an
     all-pad tile has an inverted box and the slab test culls it."""
     nreal = scene.n_tris
@@ -241,24 +254,31 @@ def _pack_boxes(scene, npad):
         pad = npad - npad_scene
         mins = jnp.concatenate([mins, jnp.full((pad, 3), jnp.inf)])
         maxs = jnp.concatenate([maxs, jnp.full((pad, 3), -jnp.inf)])
-    n_tiles = npad // TC
-    tmin = mins.reshape(n_tiles, TC, 3).min(axis=1)  # (n_tiles, 3)
-    tmax = maxs.reshape(n_tiles, TC, 3).max(axis=1)
+    n_tiles = npad // tc
+    tmin = mins.reshape(n_tiles, tc, 3).min(axis=1)  # (n_tiles, 3)
+    tmax = maxs.reshape(n_tiles, tc, 3).max(axis=1)
     boxes = jnp.zeros((8, n_tiles), jnp.float32)
     boxes = boxes.at[0:3].set(tmin.T)
     boxes = boxes.at[3:6].set(tmax.T)
     return boxes
 
 
-def pallas_closest_hit(scene, org, dirn, interpret: bool | None = None):
+def pallas_closest_hit(scene, org, dirn, interpret: bool | None = None,
+                       active=None):
+    """active: optional (B,) bool live mask.  Live lanes are compacted to
+    the front (stable partition) so whole dead RAY_BLOCKs are skipped in
+    the kernel — wavefront compaction for bounce wavefronts where most
+    lanes have terminated (whitted/pathtrace bounces, shadow batches)."""
     if interpret is None:
         # compiled Mosaic needs a real TPU; interpret elsewhere (tests)
         interpret = jax.default_backend() == "cpu"
-    return _pallas_closest_hit(scene, org, dirn, interpret)
+    return _pallas_closest_hit(scene, org, dirn, interpret, active,
+                               active is not None)
 
 
-@partial(jax.jit, static_argnames=("interpret",))
-def _pallas_closest_hit(scene, org, dirn, interpret: bool = False):
+@partial(jax.jit, static_argnames=("interpret", "compact"))
+def _pallas_closest_hit(scene, org, dirn, interpret: bool = False,
+                        active=None, compact: bool = False):
     """Closest hit via the fused Pallas kernel.  B must be a multiple of
     RAY_BLOCK (the renderer's wavefronts are); returns the dispatch dict."""
     B = org.shape[0]
@@ -266,6 +286,16 @@ def _pallas_closest_hit(scene, org, dirn, interpret: bool = False):
     tris, npad = _pack(scene)
     boxes = _pack_boxes(scene, npad)
     n_tri_tiles = npad // TC
+
+    if compact:
+        from lucille_tpu.accel.pallas_ao import partition_order
+
+        order, nact = partition_order(active)
+        org = org[order]
+        dirn = dirn[order]
+    else:
+        nact = jnp.int32(B)
+    nact = nact.astype(jnp.int32).reshape((1,))
 
     rays = jnp.zeros((8, B), jnp.float32)
     rays = rays.at[0:3].set(org.T)
@@ -307,20 +337,32 @@ def _pallas_closest_hit(scene, org, dirn, interpret: bool = False):
         pltpu.VMEM((1, RAY_BLOCK), jnp.int32),
     ]
 
+    smem_spec = (
+        pl.BlockSpec(memory_space=pltpu.SMEM)
+        if pltpu
+        else pl.BlockSpec((1,), lambda i: (0,))
+    )
     t, u, v, tri, ntile = pl.pallas_call(
         kernel,
         grid=grid,
-        in_specs=[ray_spec, box_spec, tri_spec],
+        in_specs=[smem_spec, ray_spec, box_spec, tri_spec],
         out_specs=[out_spec] * 4 + [nt_spec],
         out_shape=out_shape,
         scratch_shapes=scratch,
         interpret=interpret,
-    )(rays, boxes, tris)
+    )(nact, rays, boxes, tris)
 
     t = t[0]
     u = u[0]
     v = v[0]
     tri = tri[0]
+    if compact:
+        # scatter back to caller order; skipped lanes report a miss
+        unsort = lambda a: jnp.zeros_like(a).at[order].set(a)
+        t = unsort(t)
+        u = unsort(u)
+        v = unsort(v)
+        tri = jnp.full_like(tri, -1).at[order].set(tri)
     return {
         "t": t,
         "u": u,
@@ -335,10 +377,12 @@ def _pallas_closest_hit(scene, org, dirn, interpret: bool = False):
     }
 
 
-def _anyhit_kernel(rays_ref, boxes_ref, tris_ref, occ_ref, occ_s, *, n_tri_tiles):
+def _anyhit_kernel(nact_ref, rays_ref, boxes_ref, tris_ref, occ_ref, occ_s,
+                   *, n_tri_tiles):
     """Occlusion-only variant: fused MT + window tests + any-reduce,
     same lane-major layout and tile-AABB culling as the closest-hit
-    kernel; a ray already occluded also drops out of the slab test."""
+    kernel; a ray already occluded also drops out of the slab test.
+    Blocks past nact (compacted-away lanes) skip all tile work."""
     import jax.experimental.pallas as pl
 
     ox = rays_ref[0:1, :]
@@ -408,31 +452,50 @@ def _anyhit_kernel(rays_ref, boxes_ref, tris_ref, occ_ref, occ_s, *, n_tri_tiles
 
         return 0
 
-    jax.lax.fori_loop(0, n_tri_tiles, body, 0)
+    @pl.when(pl.program_id(0) * rays_ref.shape[1] < nact_ref[0])
+    def _live_block():
+        jax.lax.fori_loop(0, n_tri_tiles, body, 0)
+
     occ_ref[:, :] = occ_s[:, :]
 
 
-def pallas_any_hit(scene, org, dirn, tmax=None, interpret: bool | None = None):
+def pallas_any_hit(scene, org, dirn, tmax=None, interpret: bool | None = None,
+                   active=None):
+    """active: optional (B,) bool live mask — see pallas_closest_hit."""
     if interpret is None:
         interpret = jax.default_backend() == "cpu"
-    return _pallas_any_hit(scene, org, dirn, tmax, interpret)
+    return _pallas_any_hit(scene, org, dirn, tmax, interpret, active,
+                           active is not None)
 
 
-@partial(jax.jit, static_argnames=("interpret",))
-def _pallas_any_hit(scene, org, dirn, tmax=None, interpret: bool = False):
+@partial(jax.jit, static_argnames=("interpret", "compact"))
+def _pallas_any_hit(scene, org, dirn, tmax=None, interpret: bool = False,
+                    active=None, compact: bool = False):
     """Occlusion query via the fused Pallas kernel; returns bool (B,)."""
     B = org.shape[0]
     assert B % RAY_BLOCK == 0
     tris, npad = _pack(scene)
     boxes = _pack_boxes(scene, npad)
     n_tri_tiles = npad // TC
+    tmax_row = (
+        jnp.full((B,), jnp.inf, jnp.float32)
+        if tmax is None
+        else jnp.broadcast_to(jnp.asarray(tmax, jnp.float32), (B,))
+    )
+    if compact:
+        from lucille_tpu.accel.pallas_ao import partition_order
+
+        order, nact = partition_order(active)
+        org = org[order]
+        dirn = dirn[order]
+        tmax_row = tmax_row[order]
+    else:
+        nact = jnp.int32(B)
+    nact = nact.astype(jnp.int32).reshape((1,))
     rays = jnp.zeros((8, B), jnp.float32)
     rays = rays.at[0:3].set(org.T)
     rays = rays.at[3:6].set(dirn.T)
-    if tmax is None:
-        rays = rays.at[6].set(jnp.inf)
-    else:
-        rays = rays.at[6].set(jnp.broadcast_to(jnp.asarray(tmax, jnp.float32), (B,)))
+    rays = rays.at[6].set(tmax_row)
 
     grid = (B // RAY_BLOCK,)
     kernel = partial(_anyhit_kernel, n_tri_tiles=n_tri_tiles)
@@ -456,13 +519,21 @@ def _pallas_any_hit(scene, org, dirn, tmax=None, interpret: bool = False):
         if _VMEM
         else pl.BlockSpec((1, RAY_BLOCK), lambda i: (0, i))
     )
+    smem_spec = (
+        pl.BlockSpec(memory_space=pltpu.SMEM)
+        if pltpu
+        else pl.BlockSpec((1,), lambda i: (0,))
+    )
     occ = pl.pallas_call(
         kernel,
         grid=grid,
-        in_specs=[ray_spec, box_spec, tri_spec],
+        in_specs=[smem_spec, ray_spec, box_spec, tri_spec],
         out_specs=out_spec,
         out_shape=jax.ShapeDtypeStruct((1, B), jnp.float32),
         scratch_shapes=[pltpu.VMEM((1, RAY_BLOCK), jnp.float32)],
         interpret=interpret,
-    )(rays, boxes, tris)
-    return occ[0] > 0.5
+    )(nact, rays, boxes, tris)
+    occ = occ[0]
+    if compact:
+        occ = jnp.zeros_like(occ).at[order].set(occ)
+    return occ > 0.5

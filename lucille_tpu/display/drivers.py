@@ -71,23 +71,52 @@ class FileDriver(DisplayDriver):
 
 
 class FramebufferDriver(FileDriver):
-    """Window preview driver.
+    """Live preview driver (the reference's framebufferdrv.c GL window).
 
-    This environment has no window system; like the reference's fallback
-    chain (render.c:430-513: unknown/unavailable driver -> "file"), the
-    frame lands in a .hdr next to the scene.
+    A headless container has no window system, but the socket driver
+    auto-spawns the rockenfield progressive viewer (terminal/web) — so
+    ``Display "framebuffer"`` routes THERE first: live tiles appear as
+    they finish, exactly the framebufferdrv experience.  When the socket
+    path cannot come up (viewer spawn disabled or connect fails), the
+    reference's fallback chain applies (render.c:430-513: unavailable
+    driver -> "file") and the frame lands in a .hdr instead.
     """
 
     name = "framebuffer"
 
+    def __init__(self):
+        self._sock = None  # live SocketDriver when the viewer came up
+
     def open(self, fname, width, height):
+        from lucille_tpu.display.sockdrv import SocketDriver
+
+        sock = SocketDriver()
+        if sock.open(fname or "framebuffer", width, height):
+            self._sock = sock
+            return True
         log_once(
             LOG_WARN,
-            "no window system available; framebuffer display falls back to file output",
+            "framebuffer display: viewer unavailable; falling back to file output",
         )
         if not fname or fname == "framebuffer":
             fname = "framebuffer_out.hdr"
         return super().open(fname, width, height)
+
+    def write(self, x0, y0, tile):
+        if self._sock is not None:
+            self._sock.write(x0, y0, tile)
+        else:
+            super().write(x0, y0, tile)
+
+    def close(self):
+        if self._sock is not None:
+            self._sock.close()
+        else:
+            super().close()
+
+    def progress(self, fraction):
+        if self._sock is not None:
+            self._sock.progress(fraction)
 
 
 class OpenEXRDriver(FileDriver):

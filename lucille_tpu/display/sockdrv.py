@@ -37,9 +37,16 @@ BATCH = 32 * 32  # 32x32-pixel batches (sockdrv_defs.h:7-19)
 class SocketDriver(DisplayDriver):
     name = "socket"
 
-    def __init__(self, host: str = "127.0.0.1", port: int = DEFAULT_PORT):
+    def __init__(self, host: str = "127.0.0.1", port: int | None = None):
+        import os
+
         self.host = host
-        self.port = port
+        # LUCILLE_SOCKET_PORT overrides (framebuffer routing + tests)
+        self.port = (
+            port
+            if port is not None
+            else int(os.environ.get("LUCILLE_SOCKET_PORT", DEFAULT_PORT))
+        )
         self.sock: socket.socket | None = None
         self._viewer = None  # auto-spawned rockenfield process
 
@@ -85,8 +92,11 @@ class SocketDriver(DisplayDriver):
             except OSError:
                 if not spawned and self.host in ("127.0.0.1", "localhost"):
                     spawned = True
-                    if self._spawn_viewer():
-                        deadline = time.time() + 5.0
+                    if not self._spawn_viewer():
+                        # nothing listening and no viewer to wait for:
+                        # fail fast so callers (framebuffer fallback
+                        # chain) don't stall 5 s per render
+                        break
                 time.sleep(0.2)
         if self.sock is None:
             log(LOG_WARN, "socket display: no viewer on %s:%d", self.host, self.port)

@@ -27,9 +27,9 @@ from lucille_tpu.lights.tables import (
 )
 
 
-def _shadow(scene, P, N, wi, tmax=None):
+def _shadow(scene, P, N, wi, tmax=None, active=None):
     org = P + N * scene.eps
-    occ = any_hit(scene, org, wi, tmax=tmax)
+    occ = any_hit(scene, org, wi, tmax=tmax, active=active)
     return 1.0 - occ.astype(jnp.float32)
 
 
@@ -57,9 +57,13 @@ def sample_area_light(light, u):
     return pts, nrm, jnp.full(u.shape[0], pdf_area, jnp.float32)
 
 
-def light_contribution(scene, light, P, N, key, nsamples: int = 1):
+def light_contribution(scene, light, P, N, key, nsamples: int = 1,
+                       active=None):
     """Incident diffuse irradiance-ish contribution of one light:
-    E = Li * cos / pdf, shadowed.  Returns (B, 3)."""
+    E = Li * cos / pdf, shadowed.  Returns (B, 3).
+
+    active: optional live-lane mask — shadow wavefronts compact dead
+    lanes away on the dense Pallas path (accel/dispatch.py)."""
     B = P.shape[0]
     col = jnp.asarray(light.color, jnp.float32) * light.intensity
 
@@ -73,7 +77,7 @@ def light_contribution(scene, light, P, N, key, nsamples: int = 1):
         wi = wi / jnp.maximum(jnp.linalg.norm(wi), 1e-20)
         wi = jnp.broadcast_to(wi, P.shape)
         cos = jnp.maximum(jnp.sum(N * wi, axis=-1), 0.0)
-        vis = _shadow(scene, P, N, wi)
+        vis = _shadow(scene, P, N, wi, active=active)
         return (cos * vis)[:, None] * col
 
     if light.type == LIGHT_POINT:
@@ -84,7 +88,8 @@ def light_contribution(scene, light, P, N, key, nsamples: int = 1):
         cos = jnp.maximum(jnp.sum(N * wi, axis=-1), 0.0)
         # distance-capped shadow ray: occluders beyond the light don't count
         vis = 1.0 - any_hit(
-            scene, P + N * scene.eps, wi, tmax=r - 2.0 * scene.eps
+            scene, P + N * scene.eps, wi, tmax=r - 2.0 * scene.eps,
+            active=active,
         ).astype(jnp.float32)
         return (cos * vis / r2)[:, None] * col
 
@@ -104,7 +109,7 @@ def light_contribution(scene, light, P, N, key, nsamples: int = 1):
             k = jax.random.fold_in(key, si)
             ur = jax.random.uniform(k, (B, 2), dtype=jnp.float32)
             wi, _pdf = cosweight_sample(ur[:, 0], ur[:, 1], basis)
-            vis = _shadow(scene, P, N, wi)
+            vis = _shadow(scene, P, N, wi, active=active)
             if light.type == LIGHT_SUNSKY and light.sunsky is not None:
                 # sky radiance in the sampled direction (z-up frame with
                 # the reference's y/z swap, lightsource.c:152-155)
@@ -131,7 +136,8 @@ def light_contribution(scene, light, P, N, key, nsamples: int = 1):
             cos_s = jnp.maximum(jnp.sum(N * wi, axis=-1), 0.0)
             cos_l = jnp.maximum(-jnp.sum(ln * wi, axis=-1), 0.0)
             vis = 1.0 - any_hit(
-                scene, P + N * scene.eps, wi, tmax=r - 2.0 * scene.eps
+                scene, P + N * scene.eps, wi, tmax=r - 2.0 * scene.eps,
+                active=active,
             ).astype(jnp.float32)
             g = cos_s * cos_l / r2
             total = total + (vis * g / jnp.maximum(pdf_a, 1e-20))[:, None] * col
@@ -251,7 +257,8 @@ def shadow_rays_per_hit(lights, nsamples: int = 4) -> int:
     return n
 
 
-def direct_diffuse(scene, lights: LightTables, P, N, key, nsamples: int = 4):
+def direct_diffuse(scene, lights: LightTables, P, N, key, nsamples: int = 4,
+                   active=None):
     """diffuse(N) built-in: shadowed cosine lighting summed over lights
     (shader.c:504).  Returns (B, 3) irradiance estimate (divided by pi to
     be an exitant-radiance factor for a lambertian with albedo 1)."""
@@ -259,11 +266,13 @@ def direct_diffuse(scene, lights: LightTables, P, N, key, nsamples: int = 4):
     for i, light in enumerate(lights):
         k = jax.random.fold_in(key, i + 1000)
         n = nsamples if light.type in (LIGHT_DOME, LIGHT_AREA, LIGHT_SUNSKY, LIGHT_IBL) else 1
-        total = total + light_contribution(scene, light, P, N, k, n)
+        total = total + light_contribution(scene, light, P, N, k, n,
+                                           active=active)
     return total / jnp.pi
 
 
-def direct_specular(scene, lights: LightTables, P, N, V, roughness, key):
+def direct_specular(scene, lights: LightTables, P, N, V, roughness, key,
+                    active=None):
     """specular(N, V, roughness) built-in (shader.c:529): Blinn-style
     highlight per light, shadowed."""
     total = jnp.zeros_like(P)
@@ -285,7 +294,7 @@ def direct_specular(scene, lights: LightTables, P, N, V, roughness, key):
         h = h / jnp.maximum(jnp.linalg.norm(h, axis=-1, keepdims=True), 1e-20)
         ndoth = jnp.maximum(jnp.sum(N * h, axis=-1), 0.0)
         cos = jnp.maximum(jnp.sum(N * wi, axis=-1), 0.0)
-        vis = _shadow(scene, P, N, wi, tmax)
+        vis = _shadow(scene, P, N, wi, tmax, active=active)
         col = jnp.asarray(light.color, jnp.float32) * light.intensity
         total = total + (vis * (cos > 0) * jnp.power(ndoth, inv_r))[:, None] * col
     return total

@@ -180,6 +180,8 @@ class RiState:
                 m.ks = float(arr[0])
             elif base == "Kt" and arr.size:
                 m.kt = float(arr[0])
+            elif base == "roughness" and arr.size:
+                m.roughness = float(arr[0])
             elif base in ("texturename", "texture") and arr.size:
                 m.texture = str(arr[0]) if str(arr[0]) else None
 

@@ -99,6 +99,7 @@ class MaterialDesc:
     ks: float = 0.0
     kt: float = 0.0
     ior: float = 1.0
+    roughness: float = 0.1  # plastic.sl's default highlight roughness
     fresnel: bool = False
     texture: Optional[str] = None
 

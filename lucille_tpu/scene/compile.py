@@ -292,6 +292,7 @@ def compile_scene(
     mat_ks = np.zeros(n_geoms)
     mat_kt = np.zeros(n_geoms)
     mat_ior = np.ones(n_geoms)
+    mat_roughness = np.full(n_geoms, 0.1)
     mat_color = np.ones((n_geoms, 3))
     mat_texture = np.full(n_geoms, -1, dtype=np.int32)
     mat_emission = np.zeros((n_geoms, 3))
@@ -301,6 +302,7 @@ def compile_scene(
         mat_ks[gi] = a.material.ks
         mat_kt[gi] = a.material.kt
         mat_ior[gi] = a.material.ior
+        mat_roughness[gi] = a.material.roughness
         mat_color[gi] = np.asarray(a.color)
         if texture_ids and a.material.texture:
             mat_texture[gi] = texture_ids.get(a.material.texture, -1)
@@ -329,6 +331,7 @@ def compile_scene(
         mat_color=mat_color,
         mat_texture=mat_texture,
         mat_emission=mat_emission,
+        mat_roughness=mat_roughness,
         node_bbmin=node_bbmin,
         node_bbmax=node_bbmax,
         node_skip=node_skip,

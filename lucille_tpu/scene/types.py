@@ -49,6 +49,7 @@ class SceneArrays:
     mat_color: Any  # (G, 3) f32 (attribute Color)
     mat_texture: Any  # (G,) i32 texture id, -1 = none
     mat_emission: Any  # (G, 3) f32 area-light emission (0 if not a light)
+    mat_roughness: Any  # (G,) f32 specular roughness (plastic.sl default 0.1)
 
     # BVH (flattened skip-link layout; absent => brute force only)
     node_bbmin: Any  # (M, 3) f32
@@ -85,7 +86,7 @@ class SceneArrays:
         "tri_v0", "tri_e1", "tri_e2", "geom_id",
         "n0", "n1", "n2", "st0", "st1", "st2", "c0", "c1", "c2",
         "mat_kd", "mat_ks", "mat_kt", "mat_ior", "mat_color", "mat_texture",
-        "mat_emission",
+        "mat_emission", "mat_roughness",
         "node_bbmin", "node_bbmax", "node_skip", "node_first", "node_count",
         "bbox_min", "bbox_max", "eps",
         "grid_cell_start", "grid_tri_idx", "grid_bbmin", "grid_bbmax",

@@ -192,29 +192,55 @@ def _gather_sunsky(scene, res, hit, P_off, b0, b1, b2, key, ntheta, nphi,
     nsamples = ntheta * nphi
     sky = sunsky_light.sunsky
 
-    strata = jnp.arange(nsamples, dtype=jnp.int32)
+    from lucille_tpu.accel.pallas_ao import MAX_TRIS_FOR_MEGAKERNEL
 
-    def step(col, si):
-        i = (si % ntheta).astype(jnp.float32)
-        j = (si // ntheta).astype(jnp.float32)
-        k = jax.random.fold_in(key, si)
-        ur = jax.random.uniform(k, (B, 2), dtype=jnp.float32)
-        z0 = (i + ur[:, 0]) / ntheta
-        z1 = (j + ur[:, 1]) / nphi
-        cos_t = jnp.sqrt(z0)
-        phi = 2.0 * jnp.pi * z1
-        lx = jnp.cos(phi) * cos_t
-        ly = jnp.sin(phi) * cos_t
-        lz = jnp.sqrt(jnp.maximum(1.0 - cos_t * cos_t, 0.0))
-        wdir = lx[..., None] * b0 + ly[..., None] * b1 + lz[..., None] * b2
-        occluded = any_hit(scene, P_off, wdir)
-        vis = (~occluded) & hit
-        # world (y-up) -> sky model (z-up) frame, the same swap the sun
-        # light construction applies (lightsource.c:152-158)
-        d_sky = jnp.stack([wdir[:, 0], wdir[:, 2], wdir[:, 1]], axis=-1)
-        return col + vis[:, None] * sky.sky_rgb(d_sky), None
+    if (
+        scene.accel == "pallas"
+        and scene.tri_v0.shape[0] <= MAX_TRIS_FOR_MEGAKERNEL
+    ):
+        # megakernel path: the fused gather returns a per-stratum
+        # occlusion BITMASK; the exact in-kernel directions are
+        # recomputed here (same per-lane jitter + R2 CP rotation) and
+        # each unoccluded stratum weighted by sky radiance — the sunsky
+        # gather rides the same kernel as plain AO (round-4 fix: this
+        # used to fall back to the wavefront scan, ~5x slower)
+        col = _sunsky_megakernel(
+            scene, P_off, b0, b1, b2, hit, key, ntheta, nphi, sky, B
+        )
+    elif scene.accel == "pbvh" and scene.n_nodes > 0:
+        from lucille_tpu.accel.pallas_bvh import pallas_bvh_ao_sunsky
 
-    col, _ = jax.lax.scan(step, jnp.zeros((B, 3), jnp.float32), strata)
+        col, _gstats = pallas_bvh_ao_sunsky(
+            scene, P_off, b0, b1, b2, hit, key, ntheta, nphi, sky
+        )
+    else:
+        strata = jnp.arange(nsamples, dtype=jnp.int32)
+
+        def step(col, si):
+            i = (si % ntheta).astype(jnp.float32)
+            j = (si // ntheta).astype(jnp.float32)
+            k = jax.random.fold_in(key, si)
+            ur = jax.random.uniform(k, (B, 2), dtype=jnp.float32)
+            z0 = (i + ur[:, 0]) / ntheta
+            z1 = (j + ur[:, 1]) / nphi
+            cos_t = jnp.sqrt(z0)
+            phi = 2.0 * jnp.pi * z1
+            lx = jnp.cos(phi) * cos_t
+            ly = jnp.sin(phi) * cos_t
+            lz = jnp.sqrt(jnp.maximum(1.0 - cos_t * cos_t, 0.0))
+            wdir = (
+                lx[..., None] * b0 + ly[..., None] * b1 + lz[..., None] * b2
+            )
+            occluded = any_hit(scene, P_off, wdir)
+            vis = (~occluded) & hit
+            # world (y-up) -> sky model (z-up) frame, the same swap the
+            # sun light construction applies (lightsource.c:152-158)
+            d_sky = jnp.stack([wdir[:, 0], wdir[:, 2], wdir[:, 1]], axis=-1)
+            return col + vis[:, None] * sky.sky_rgb(d_sky), None
+
+        col, _ = jax.lax.scan(
+            step, jnp.zeros((B, 3), jnp.float32), strata
+        )
 
     # contribution_from_sunlight: trace along +sun direction, add the sun
     # color where unoccluded
@@ -222,7 +248,7 @@ def _gather_sunsky(scene, res, hit, P_off, b0, b1, b2, key, ntheta, nphi,
         wi = jnp.asarray(sun.direction, jnp.float32)
         wi = wi / jnp.maximum(jnp.linalg.norm(wi), 1e-20)
         wi = jnp.broadcast_to(wi, P_off.shape)
-        occluded = any_hit(scene, P_off, wi)
+        occluded = any_hit(scene, P_off, wi, active=hit)
         suncol = jnp.asarray(sun.color, jnp.float32) * sun.intensity
         col = col + (((~occluded) & hit).astype(jnp.float32))[:, None] * suncol
 
@@ -241,6 +267,55 @@ def _gather_sunsky(scene, res, hit, P_off, b0, b1, b2, key, ntheta, nphi,
         "t": res["t"],
     }
     return radiance, aux
+
+
+def _sunsky_megakernel(scene, P_off, b0, b1, b2, hit, key, ntheta, nphi,
+                       sky, B):
+    """Sky-radiance gather through the fused AO megakernel's per-stratum
+    occlusion bitmask (pallas_ao_occlusion_bits).  Directions are
+    recomputed OUTSIDE the kernel with the identical per-lane jitter and
+    R2 Cranley-Patterson rotation, so stratum s's visibility bit pairs
+    with exactly the direction the kernel traced."""
+    from lucille_tpu.accel.pallas_ao import (
+        _R2_A1,
+        _R2_A2,
+        pallas_ao_occlusion_bits,
+    )
+
+    _occ, bits, u01 = pallas_ao_occlusion_bits(
+        scene, P_off, b0, b1, b2, hit, key, ntheta, nphi
+    )
+    nsamples = ntheta * nphi
+    strata = jnp.arange(nsamples, dtype=jnp.int32)
+
+    def step(col, s):
+        sf = s.astype(jnp.float32)
+        sh0 = sf * _R2_A1
+        sh1 = sf * _R2_A2
+        u0 = u01[0] + (sh0 - jnp.floor(sh0))
+        u0 = u0 - jnp.floor(u0)
+        u1 = u01[1] + (sh1 - jnp.floor(sh1))
+        u1 = u1 - jnp.floor(u1)
+        fi = (s % ntheta).astype(jnp.float32)
+        fj = (s // ntheta).astype(jnp.float32)
+        z0 = (fi + u0) * (1.0 / ntheta)
+        z1 = (fj + u1) * (1.0 / nphi)
+        cos_t = jnp.sqrt(z0)
+        phi = (2.0 * jnp.pi) * z1
+        lx = jnp.cos(phi) * cos_t
+        ly = jnp.sin(phi) * cos_t
+        lz = jnp.sqrt(jnp.maximum(1.0 - z0, 0.0))
+        wdir = lx[..., None] * b0 + ly[..., None] * b1 + lz[..., None] * b2
+        row = jax.lax.dynamic_index_in_dim(
+            bits, s // 32, axis=0, keepdims=False
+        )
+        occluded = ((row >> (s % 32)) & 1) == 1
+        vis = (~occluded) & hit
+        d_sky = jnp.stack([wdir[:, 0], wdir[:, 2], wdir[:, 1]], axis=-1)
+        return col + vis[:, None] * sky.sky_rgb(d_sky), None
+
+    col, _ = jax.lax.scan(step, jnp.zeros((B, 3), jnp.float32), strata)
+    return col
 
 
 def _modulate(scene, res, hit, radiance, textures):

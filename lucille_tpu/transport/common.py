@@ -40,6 +40,7 @@ def interp_hit(scene, res, org, dirn):
         "ks": scene.mat_ks[geom],
         "kt": scene.mat_kt[geom],
         "ior": scene.mat_ior[geom],
+        "roughness": scene.mat_roughness[geom],
         "mat_color": scene.mat_color[geom],
         "emission": scene.mat_emission[geom],
     }

@@ -46,7 +46,7 @@ def _power_heuristic(pdf_a, pdf_b):
     return a2 / jnp.maximum(a2 + pdf_b * pdf_b, 1e-20)
 
 
-def _sample_one_light(scene, lights, P, N, key):
+def _sample_one_light(scene, lights, P, N, key, active=None):
     """NEE: pick one light uniformly, sample it, return the estimator
     (Li * G * vis / pdf) together with the light-sampling pdf in
     solid-angle measure for MIS.  Returns (contrib (B,3), wi (B,3),
@@ -87,7 +87,9 @@ def _sample_one_light(scene, lights, P, N, key):
                 wi / jnp.maximum(jnp.linalg.norm(wi), 1e-20), P.shape
             )
             cos = jnp.maximum(jnp.sum(N * wi, axis=-1), 0.0)
-            vis = 1.0 - any_hit(scene, P + N * scene.eps, wi).astype(jnp.float32)
+            vis = 1.0 - any_hit(
+                scene, P + N * scene.eps, wi, active=active
+            ).astype(jnp.float32)
             contrib = (cos * vis)[:, None] * col * nl  # /(1/nl) pick pdf
             pdf_sa = jnp.full((B,), jnp.inf)  # delta light: no MIS vs BRDF
         elif light.type == LIGHT_POINT:
@@ -97,7 +99,8 @@ def _sample_one_light(scene, lights, P, N, key):
             wi = d / r[:, None]
             cos = jnp.maximum(jnp.sum(N * wi, axis=-1), 0.0)
             vis = 1.0 - any_hit(
-                scene, P + N * scene.eps, wi, tmax=r - 2 * scene.eps
+                scene, P + N * scene.eps, wi, tmax=r - 2 * scene.eps,
+                active=active,
             ).astype(jnp.float32)
             contrib = (cos * vis / r2)[:, None] * col * nl
             pdf_sa = jnp.full((B,), jnp.inf)
@@ -111,7 +114,8 @@ def _sample_one_light(scene, lights, P, N, key):
             cos_s = jnp.maximum(jnp.sum(N * wi, axis=-1), 0.0)
             cos_l = jnp.maximum(-jnp.sum(ln * wi, axis=-1), 0.0)
             vis = 1.0 - any_hit(
-                scene, P + N * scene.eps, wi, tmax=r - 2 * scene.eps
+                scene, P + N * scene.eps, wi, tmax=r - 2 * scene.eps,
+                active=active,
             ).astype(jnp.float32)
             g = cos_s * cos_l / r2
             pdf_sa = pdf_a * r2 / jnp.maximum(cos_l, 1e-8)  # area->solid angle
@@ -153,8 +157,14 @@ def path_radiance(
 
     def bounce(state, depth, last):
         radiance, throughput, active, org, dirn, nrays = state
-        res = closest_hit(scene, org, dirn)
-        nrays = nrays + B
+        # bounce wavefronts compact dead lanes away (dense Pallas path)
+        res = closest_hit(
+            scene, org, dirn, active=None if depth == 0 else active
+        )
+        # every traced ray counts (raytrace.c:96) — live lanes only
+        nrays = nrays + (
+            B if depth == 0 else jnp.sum(active.astype(jnp.int32))
+        )
         hit = res["hit"] & active
         h = interp_hit(scene, res, org, dirn)
         N = face_forward(h["Ns"], dirn)
@@ -182,7 +192,9 @@ def path_radiance(
         albedo = apply_texture(
             scene, textures, h, h["cs"] * h["mat_color"] * h["kd"][:, None]
         )
-        nee, wi_l, _pdf_l = _sample_one_light(scene, lights, P, N, kdepth)
+        nee, wi_l, _pdf_l = _sample_one_light(
+            scene, lights, P, N, kdepth, active=hit
+        )
         f_l = albedo / jnp.pi
         radiance = radiance + jnp.where(
             hit[:, None], throughput * f_l * nee, 0.0

@@ -57,8 +57,15 @@ def whitted_radiance(
 
     def bounce(state, depth, last):
         radiance, throughput, active, org, dirn, nrays = state
-        res = closest_hit(scene, org, dirn)
-        nrays = nrays + B
+        # bounce wavefronts compact dead lanes away (dense Pallas path
+        # skips whole dead blocks); the eye bounce is fully live
+        res = closest_hit(
+            scene, org, dirn, active=None if depth == 0 else active
+        )
+        # every traced ray counts (raytrace.c:96) — only live lanes trace
+        nrays = nrays + (
+            B if depth == 0 else jnp.sum(active.astype(jnp.int32))
+        )
         hit = res["hit"] & active
         h = interp_hit(scene, res, org, dirn)
         N = face_forward(h["Ns"], dirn)
@@ -77,8 +84,12 @@ def whitted_radiance(
 
         # direct lighting on the diffuse part
         kdir = jax.random.fold_in(key, depth)
-        diff = direct_diffuse(scene, lights, P, N, kdir)
-        spec = direct_specular(scene, lights, P, N, -dirn, 0.1, kdir)
+        # shadow wavefronts only trace for lanes whose eye/bounce ray hit
+        diff = direct_diffuse(scene, lights, P, N, kdir, active=hit)
+        # per-material roughness from the Surface binding ("roughness"
+        # param, plastic.sl-style), not a hardcoded constant
+        spec = direct_specular(scene, lights, P, N, -dirn, h["roughness"],
+                               kdir, active=hit)
         from lucille_tpu.transport.common import apply_texture
 
         base = apply_texture(scene, textures, h, h["cs"] * h["mat_color"])

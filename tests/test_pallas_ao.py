@@ -154,3 +154,88 @@ def test_megakernel_culled_paths_match(ntheta=4, nphi=4):
     ref = _reference_occlusion(sc, P, b0, b1, b2, hit, key, ntheta, nphi)
     np.testing.assert_array_equal(np.asarray(occ), np.asarray(ref))
     assert float(jnp.sum(occ)) > 0  # scene dense enough to occlude
+
+
+def test_occlusion_bits_match_counts():
+    """pallas_ao_occlusion_bits: the per-stratum bitmask's popcount must
+    equal the fused kernel's occlusion count bit-for-bit (same launch)."""
+    from lucille_tpu.accel.pallas_ao import (
+        pallas_ao_occlusion,
+        pallas_ao_occlusion_bits,
+    )
+    from lucille_tpu.transport.ao import ortho_basis
+
+    v0, v1, v2 = _random_soup(500, seed=11)
+    sc = _scene_from_tris(v0, v1, v2, "pallas")
+    B = 384
+    rng = np.random.default_rng(4)
+    P = jnp.asarray(rng.uniform(-4, 4, (B, 3)), jnp.float32)
+    N = rng.normal(size=(B, 3))
+    N /= np.linalg.norm(N, axis=-1, keepdims=True)
+    b0, b1, b2 = ortho_basis(jnp.asarray(N, jnp.float32))
+    hit = jnp.asarray(rng.uniform(size=B) < 0.7)
+    key = jax.random.key(3)
+
+    occ = pallas_ao_occlusion(sc, P, b0, b1, b2, hit, key, 8, 8,
+                              interpret=True)
+    occ2, bits, u01 = pallas_ao_occlusion_bits(
+        sc, P, b0, b1, b2, hit, key, 8, 8, interpret=True
+    )
+    np.testing.assert_array_equal(np.asarray(occ), np.asarray(occ2))
+    b = np.asarray(bits).astype(np.uint32)
+    pop = np.zeros(B)
+    for r in range(b.shape[0]):
+        for k in range(32):
+            pop += (b[r] >> k) & 1
+    hitm = np.asarray(hit)
+    np.testing.assert_array_equal(pop * hitm, np.asarray(occ))
+    # jitter columns: raster order, live lanes carry uniforms in [0, 1)
+    u = np.asarray(u01)
+    assert u.shape == (2, B)
+    assert (u >= 0).all() and (u < 1).all()
+
+
+def test_sunsky_megakernel_matches_scan_statistics():
+    """Sunsky-AO on accel=pallas (bitmask megakernel path) vs bruteforce
+    (wavefront scan): independent jitter streams, matching statistics."""
+    from lucille_tpu.lights.tables import build_light_tables
+    from lucille_tpu.ri.api import RiState
+    from lucille_tpu.rib.parser import parse_rib
+    from lucille_tpu.scene.compile import compile_scene
+    from lucille_tpu.transport.ao import ao_radiance
+
+    def render(accel):
+        s = RiState()
+        s.options.accel_method = accel
+        parse_rib(
+            "WorldBegin\n"
+            'AreaLightSource "sunsky" 1 "hour" [10.0] "turbidity" [2.2]\n'
+            'PointsPolygons [4] [0 3 2 1] "P" '
+            '[-50 0 -50  50 0 -50  50 0 50  -50 0 50]\n'
+            'PointsPolygons [3] [0 1 2] "P" [-2 0 -2  2 0 -2  0 3 0]\n'
+            "WorldEnd\n",
+            s,
+        )
+        scene = compile_scene(s.scene).device_put()
+        lights = build_light_tables(s.scene)
+        B = 512
+        rng = np.random.default_rng(9)
+        org = jnp.asarray(
+            np.stack(
+                [rng.uniform(-4, 4, B), np.full(B, 6.0),
+                 rng.uniform(-4, 4, B)], axis=-1
+            ),
+            jnp.float32,
+        )
+        dirn = jnp.broadcast_to(jnp.asarray([0.0, -1.0, 0.0]), (B, 3))
+        rad, aux = ao_radiance(
+            scene, org, dirn, jax.random.key(1), 8, 8, lights=lights
+        )
+        return np.asarray(rad), np.asarray(aux["hit"])
+
+    rad_p, hit_p = render("pallas")
+    rad_b, hit_b = render("bruteforce")
+    np.testing.assert_array_equal(hit_p, hit_b)
+    a = rad_p[hit_p].mean(axis=0)
+    b = rad_b[hit_b].mean(axis=0)
+    np.testing.assert_allclose(a, b, rtol=0.05)

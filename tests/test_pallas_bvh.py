@@ -251,3 +251,43 @@ class TestWindowSemantics:
         assert bool(r["hit"][0]) and abs(float(r["t"][0]) - 2.0) < 1e-4
         r = pallas_bvh_closest_hit(sc, org, dirn, tmax=1.0)
         assert not bool(r["hit"][0])
+
+
+class TestConeTiledSunsky:
+    def test_unit_sky_reduces_to_plain_ao(self):
+        """pallas_bvh_ao_sunsky with sky_rgb == 1 must reproduce the
+        plain cone-tiled occlusion EXACTLY (same kernel, same streams):
+        col = (nsamples - occ) on every hit lane."""
+        import jax
+        import jax.numpy as jnp
+
+        from lucille_tpu.accel.pallas_bvh import (
+            pallas_bvh_ao_occlusion,
+            pallas_bvh_ao_sunsky,
+        )
+        from lucille_tpu.transport.ao import ortho_basis
+
+        class UnitSky:
+            def sky_rgb(self, d):
+                return jnp.ones((d.shape[0], 3), jnp.float32)
+
+        v0, v1, v2 = _random_soup(900, seed=13)
+        sc = _scene(v0, v1, v2, accel="bvh")
+        B = 300
+        rng = np.random.default_rng(5)
+        P = jnp.asarray(rng.uniform(-4, 4, (B, 3)), jnp.float32)
+        N = rng.normal(size=(B, 3))
+        N /= np.linalg.norm(N, axis=-1, keepdims=True)
+        b0, b1, b2 = ortho_basis(jnp.asarray(N, jnp.float32))
+        hit = jnp.asarray(rng.uniform(size=B) < 0.75)
+        key = jax.random.key(2)
+
+        occ, _ = pallas_bvh_ao_occlusion(
+            sc, P, b0, b1, b2, hit, key, 8, 8, interpret=True
+        )
+        col, _ = pallas_bvh_ao_sunsky(
+            sc, P, b0, b1, b2, hit, key, 8, 8, UnitSky(), interpret=True
+        )
+        expect = (64.0 - np.asarray(occ)) * np.asarray(hit)
+        for c in range(3):
+            np.testing.assert_array_equal(np.asarray(col)[:, c], expect)

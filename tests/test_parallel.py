@@ -142,6 +142,76 @@ class TestUnifiedRenderer:
         barrier()  # no-op, must not hang
 
 
+class TestDistributedRecover:
+    """--recover under multi-process: host 0 reads the checkpoint file and
+    broadcasts (image, alpha, done) so every process skips IDENTICAL
+    tiles (renderer.py broadcast branch; MPI_Bcast analog parallel.c:150).
+    Simulated without a pod by monkeypatching process_count/index and
+    capture/replay of broadcast_from_primary (VERDICT r3 item 9)."""
+
+    def test_all_processes_skip_same_tiles(self, tmp_path, monkeypatch):
+        import os
+
+        from lucille_tpu.render.renderer import Renderer
+
+        ckpt = str(tmp_path / "frame.ckpt.npz")
+
+        def fresh():
+            s = _tiny_scene()
+            s.options.render_method = "ao"
+            return Renderer(s.scene, tile_size=16)
+
+        full = fresh().render_frame()
+
+        # interrupted single-process run -> partial checkpoint on "host 0"
+        count = [0]
+
+        def crash(x0, y0, t):
+            count[0] += 1
+            if count[0] >= 3:
+                raise KeyboardInterrupt
+
+        with pytest.raises(KeyboardInterrupt):
+            fresh().render_frame(tile_cb=crash, checkpoint=ckpt)
+        ckpt_done = np.load(ckpt)["done"]
+        assert 0 < ckpt_done.sum() < ckpt_done.shape[0]
+
+        import lucille_tpu.parallel.distributed as dist
+
+        monkeypatch.setattr(dist, "process_count", lambda: 2)
+        captured = []
+
+        # ---- host 0: reads the file, broadcast captures its state
+        monkeypatch.setattr(dist, "process_index", lambda: 0)
+        monkeypatch.setattr(
+            dist, "broadcast_from_primary",
+            lambda tree: (captured.append(tree), tree)[1],
+        )
+        r0 = fresh()
+        img0 = r0.render_frame(checkpoint=ckpt, recover=True)
+        assert len(captured) == 1
+        np.testing.assert_array_equal(
+            captured[0][2].astype(bool), ckpt_done
+        )
+        np.testing.assert_allclose(img0, full, atol=1e-6)
+
+        # ---- host 1: NO local checkpoint file (separate filesystem);
+        # replayed broadcast supplies host-0's recovery state
+        monkeypatch.setattr(dist, "process_index", lambda: 1)
+        monkeypatch.setattr(
+            dist, "broadcast_from_primary", lambda tree: captured[0]
+        )
+        r1 = fresh()
+        img1 = r1.render_frame(
+            checkpoint=str(tmp_path / "host1-local.npz"), recover=True
+        )
+        np.testing.assert_allclose(img1, full, atol=1e-6)
+        # identical skip set => identical work: both computed only the
+        # not-done tiles, so the traced-ray counters agree exactly
+        assert r0.stats.nrays == r1.stats.nrays
+        assert not os.path.exists(str(tmp_path / "host1-local.npz"))
+
+
 class TestGraftEntry:
     def test_entry_compiles(self):
         import __graft_entry__ as g

@@ -123,6 +123,55 @@ class TestWhitted:
         assert (vals > 0.0).all()
         assert np.isfinite(vals).all()
 
+    def test_material_roughness_changes_highlight_width(self):
+        """Surface "plastic" "roughness" reaches direct_specular: a rough
+        material spreads its highlight over more of the plane than a
+        polished one (whitted.c's specular path; plumbing fixed r4 — the
+        roughness was hardcoded 0.1 in whitted.py)."""
+        from lucille_tpu.transport.whitted import whitted_radiance
+
+        def highlight(rough):
+            from lucille_tpu.lights.tables import build_light_tables
+            from lucille_tpu.ri.api import RiState
+            from lucille_tpu.rib.parser import parse_rib
+            from lucille_tpu.scene.compile import compile_scene
+
+            s = RiState()
+            parse_rib(
+                "WorldBegin\n"
+                'LightSource "distantlight" 1 "intensity" [1.0] '
+                '"from" [2 10 0] "to" [0 0 0]\n'
+                f'Surface "plastic" "Kd" [0.0] "Ks" [1.0] '
+                f'"roughness" [{rough}]\n'
+                'PointsPolygons [4] [0 3 2 1] "P" '
+                '[-50 0 -50  50 0 -50  50 0 50  -50 0 50]\n'
+                "WorldEnd\n",
+                s,
+            )
+            scene = compile_scene(s.scene).device_put()
+            assert abs(float(scene.mat_roughness[0]) - rough) < 1e-6
+            lights = build_light_tables(s.scene)
+            # perspective fan from one eye point: V varies per lane, so
+            # ndoth sweeps through the highlight across the wavefront
+            B = 256
+            eye = jnp.asarray([0.0, 5.0, 0.0])
+            targets = jnp.stack(
+                [jnp.linspace(-20, 20, B), jnp.zeros((B,)), jnp.zeros((B,))],
+                axis=-1,
+            )
+            dirn = targets - eye
+            dirn = dirn / jnp.linalg.norm(dirn, axis=-1, keepdims=True)
+            org = jnp.broadcast_to(eye, (B, 3))
+            r, _ = whitted_radiance(
+                scene, lights, org, dirn, jax.random.key(0), max_depth=1
+            )
+            return np.asarray(r)[:, 0]
+
+        tight = highlight(0.02)
+        wide = highlight(0.4)
+        thresh = 0.05 * max(tight.max(), wide.max())
+        assert (wide > thresh).sum() > 2 * (tight > thresh).sum()
+
     def test_mirror_sees_plane(self):
         """A specular quad above a lit plane reflects the plane's color."""
         from lucille_tpu.transport.whitted import whitted_radiance
