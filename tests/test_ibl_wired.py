@@ -118,7 +118,15 @@ class TestIBLLighting:
         assert float(down[0, 2]) > 1.0
 
     @pytest.mark.parametrize(
-        "sampler", ["importance", "stratified", "structured", "bruteforce"]
+        "sampler",
+        [
+            "importance",
+            "stratified",
+            "structured",
+            # bruteforce integrates every texel per lane: ~370 s on this
+            # container — opt-in (-m "slow or not slow")
+            pytest.param("bruteforce", marks=pytest.mark.slow),
+        ],
     )
     def test_samplers_see_the_texture(self, tmp_path, sampler):
         """Every sampler token produces the map's directional color —
@@ -149,6 +157,7 @@ class TestIBLLighting:
         ).mean(axis=0)
         assert not np.allclose(e, e_cos)
 
+    @pytest.mark.slow  # variance study, ~105 s
     def test_importance_lower_variance_than_cosweight(self, tmp_path):
         """On a map with one bright texel, luminance importance sampling
         beats cosweight at equal sample count (the point of ibl.c's

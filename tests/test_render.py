@@ -52,6 +52,7 @@ class TestAOParity:
         img2, _ = _render_ao(64, 48)
         np.testing.assert_array_equal(img1, img2)
 
+    @pytest.mark.slow  # full-frame brute-force cross-check, ~40 s
     def test_bruteforce_accel_matches_bvh(self):
         img_bvh, _ = _render_ao(64, 48, accel_method="bvh")
         img_bf, _ = _render_ao(64, 48, accel_method="bruteforce")
@@ -71,6 +72,7 @@ PS_RIB = "/root/reference/examples/plane_sphere/Scene_DEFAULT_Set0.rib"
 
 @pytest.mark.skipif(not os.path.exists(PS_RIB), reason="reference unavailable")
 class TestPlaneSphereParity:
+    @pytest.mark.slow  # 128x128 golden frame vs CPU-lucille, ~105 s
     def test_matches_lucille_golden_128(self):
         """plane_sphere (ReadArchive chains, MOSAIC surfaces, searchpaths)
         vs the CPU-lucille golden at 128x128 (BASELINE config 2)."""

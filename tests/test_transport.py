@@ -43,6 +43,7 @@ def _down_rays(B=64, height=5.0):
 
 
 class TestPathTracer:
+    @pytest.mark.slow  # 8-frame convergence study, ~60 s
     def test_furnace_closed_environment(self):
         """White lambertian plane under a unit dome light: the surface
         radiance converges to the dome radiance (furnace-like check)."""
