@@ -765,6 +765,246 @@ def _pallas_bvh_any_hit(scene, org, dirn, tmax=None, interpret=False,
 
 
 # ---------------------------------------------------------------------------
+# beam any-hit: scalar interval-slab walk, zero vector->scalar syncs
+# ---------------------------------------------------------------------------
+
+BEAM_BIG = 3.0e38
+
+
+def _beam_rows(org, dirn, live):
+    """Per-RAY_BLOCK conservative beam bounds -> (n_blocks, 16) f32.
+
+    Slots per block: [0:3] per-axis direction sign (+1/-1, 0 =
+    unconstrained: the block's directions span zero on that axis),
+    [3:6] mirrored origin lower bound (sg*o), [6:9] mirrored origin
+    upper bound, [9:12] 1/d'_hi, [12:15] 1/d'_lo (d' = sg*d > 0),
+    [15] block-live flag.  Cone-tiled AO blocks are compact in origin
+    AND direction by construction, so these bounds are tight; the
+    kernel walk tests nodes against the beam with ~50 SCALAR ops and no
+    vector->scalar sync — the TPU rebirth of the reference's beam
+    traversal (bvh.c:545-668), decided per block instead of per lane."""
+    B = org.shape[0]
+    nb = B // RAY_BLOCK
+    o = org.reshape(nb, RAY_BLOCK, 3)
+    d = dirn.reshape(nb, RAY_BLOCK, 3)
+    lv = live.reshape(nb, RAY_BLOCK, 1)
+    pinf = jnp.float32(jnp.inf)
+    dmin = jnp.min(jnp.where(lv, d, pinf), axis=1)
+    dmax = jnp.max(jnp.where(lv, d, -pinf), axis=1)
+    block_live = jnp.any(lv[..., 0], axis=1)
+    sg = jnp.where(dmin > 0, 1.0, jnp.where(dmax < 0, -1.0, 0.0))
+    d_lo = jnp.where(sg > 0, dmin, -dmax)
+    d_hi = jnp.where(sg > 0, dmax, -dmin)
+    il = 1.0 / jnp.maximum(d_hi, 1e-20)
+    ih = jnp.minimum(1.0 / jnp.maximum(d_lo, 1e-20), BEAM_BIG)
+    so = sg[:, None, :] * o
+    olo = jnp.min(jnp.where(lv, so, pinf), axis=1)
+    ohi = jnp.max(jnp.where(lv, so, -pinf), axis=1)
+    # dead blocks: force the walk's reach test false via the live flag
+    z = jnp.zeros((nb, 3), jnp.float32)
+    olo = jnp.where(block_live[:, None], olo, z)
+    ohi = jnp.where(block_live[:, None], ohi, z)
+    il = jnp.where(block_live[:, None], il, z)
+    ih = jnp.where(block_live[:, None], ih, z)
+    beam = jnp.zeros((nb, 16), jnp.float32)
+    beam = beam.at[:, 0:3].set(sg)
+    beam = beam.at[:, 3:6].set(olo)
+    beam = beam.at[:, 6:9].set(ohi)
+    beam = beam.at[:, 9:12].set(il)
+    beam = beam.at[:, 12:15].set(ih)
+    beam = beam.at[:, 15].set(block_live.astype(jnp.float32))
+    # SMEM block shapes need a sublane-multiple row count: pad each
+    # block's row to (8, 16) (rows 1-7 unused)
+    return jnp.broadcast_to(beam[:, None, :], (nb, 8, 16))
+
+
+def _beam_reach(beam_ref, box_ref, node):
+    """Scalar conservative beam-vs-AABB test: does ANY ray within the
+    block's (origin box x direction interval) beam hit the node's box?
+    Interval-arithmetic slab test, ~50 scalar ops, NO vector work."""
+    t_lo = jnp.float32(-BEAM_BIG)
+    t_hi = jnp.float32(BEAM_BIG)
+    for ax in range(3):
+        sg = beam_ref[0, 0, ax]
+        bmin = box_ref[ax, node]
+        bmax = box_ref[3 + ax, node]
+        p1 = jnp.minimum(sg * bmin, sg * bmax)
+        p2 = jnp.maximum(sg * bmin, sg * bmax)
+        olo = beam_ref[0, 0, 3 + ax]
+        ohi = beam_ref[0, 0, 6 + ax]
+        il = beam_ref[0, 0, 9 + ax]
+        ih = beam_ref[0, 0, 12 + ax]
+        n1 = p1 - ohi  # smallest possible near-plane numerator
+        n2 = p2 - olo  # largest possible far-plane numerator
+        tn = n1 * jnp.where(n1 >= 0.0, il, ih)
+        tf = n2 * jnp.where(n2 >= 0.0, ih, il)
+        unc = sg == 0.0
+        t_lo = jnp.maximum(t_lo, jnp.where(unc, -BEAM_BIG, tn))
+        t_hi = jnp.minimum(t_hi, jnp.where(unc, BEAM_BIG, tf))
+    return (t_lo <= t_hi) & (t_hi > 0.0) & (beam_ref[0, 0, 15] > 0.5)
+
+
+def _bvh_anyhit_beam_kernel(
+    rays_ref, beam_ref, nbox_ref, nmeta_ref, tbox_ref, tris_ref, occ_ref,
+    stat_ref, *scratch, n_nodes, hbm=False, tcull=False,
+):
+    """Any-hit occlusion with a SCALAR beam walk.
+
+    The lane walk (_bvh_anyhit_kernel) pays a vector->scalar sync
+    (~175 cy) per node visit for `any(reach)`; at ~100 visits per
+    cone-tiled block that sync tax dominates the 1M-triangle frame
+    (profiled round 4: 1.6M visits, 60% of tile time).  Here descent is
+    decided purely on the scalar core from per-block conservative beam
+    bounds (SMEM), so a node visit costs ~50 scalar ops and the VPU only
+    ever runs MT tile tests.  Trade: no occlusion-based early-out and
+    conservative (superset) reach — right for escape-dominated scenes
+    where lanes must sweep the frustum anyway; LUCILLE_BVH_WALK=lane
+    restores the old walk for occlusion-dominated content."""
+    cache, sem, tag, pend, cnt = scratch if hbm else (None,) * 5
+    if hbm:
+        _cache_init(tag)
+        cnt[0] = 0
+    ox = rays_ref[0:1, :]
+    oy = rays_ref[1:2, :]
+    oz = rays_ref[2:3, :]
+    dx = rays_ref[3:4, :]
+    dy = rays_ref[4:5, :]
+    dz = rays_ref[5:6, :]
+    tmax = rays_ref[6:7, :]
+
+    occ_ref[:, :] = jnp.zeros(occ_ref.shape, jnp.float32)
+
+    def mt_on(cols, base):
+        (v0x, v0y, v0z, e1x, e1y, e1z, e2x, e2y, e2z) = cols
+        px = dy * e2z - dz * e2y
+        py = dz * e2x - dx * e2z
+        pz = dx * e2y - dy * e2x
+        a = e1x * px + e1y * py + e1z * pz
+        valid = jnp.abs(a) > DET_EPS
+        inva = jnp.where(valid, 1.0 / jnp.where(valid, a, 1.0), 0.0)
+        sx = ox - v0x
+        sy = oy - v0y
+        sz = oz - v0z
+        qx = sy * e1z - sz * e1y
+        qy = sz * e1x - sx * e1z
+        qz = sx * e1y - sy * e1x
+        u = (sx * px + sy * py + sz * pz) * inva
+        v = (qx * dx + qy * dy + qz * dz) * inva
+        t = (e2x * qx + e2y * qy + e2z * qz) * inva
+        hit = (
+            valid
+            & (u >= 0.0)
+            & (u <= 1.0)
+            & (v >= 0.0)
+            & (u + v <= 1.0)
+            & (t > 0.0)
+            & (t < tmax)
+        )
+        any1 = jnp.any(hit, axis=0, keepdims=True)
+        occ_ref[:, :] = jnp.maximum(occ_ref[0:1, :], any1.astype(jnp.float32))
+
+    cull = (
+        (lambda tile: _beam_reach(beam_ref, tbox_ref, tile))
+        if tcull
+        else None
+    )
+
+    def tcond(c):
+        return c[0] < n_nodes
+
+    def tbody(c):
+        node, nvis, ntile = c
+        reach = _beam_reach(beam_ref, nbox_ref, node)
+        ltiles = nmeta_ref[2, node]
+        leaf = ltiles > 0
+
+        @pl.when(reach & leaf)
+        def _leaf():
+            _foreach_leaf_tile(
+                tris_ref, cache, sem, tag, pend, cnt, nmeta_ref[1, node],
+                ltiles, mt_on, hbm=hbm, cull=cull,
+            )
+
+        nxt = jnp.where(
+            reach & jnp.logical_not(leaf), node + 1, nmeta_ref[0, node]
+        )
+        return (nxt, nvis + 1, ntile + jnp.where(reach & leaf, ltiles, 0))
+
+    _, nvis, ntile = jax.lax.while_loop(
+        tcond, tbody, (jnp.int32(0), jnp.int32(0), jnp.int32(0))
+    )
+    stat_ref[0:1, :] = jnp.full(stat_ref[0:1, :].shape, nvis, jnp.int32)
+    stat_ref[1:2, :] = jnp.full(stat_ref[1:2, :].shape, ntile, jnp.int32)
+    nmiss = cnt[0] if hbm else jnp.int32(0)
+    stat_ref[2:3, :] = jnp.full(stat_ref[2:3, :].shape, nmiss, jnp.int32)
+
+
+def _beam_walk_on() -> bool:
+    """LUCILLE_BVH_WALK selects the cone-tiled gather's traversal.
+
+    'lane' (default) = per-lane reach walk with occlusion early-out.
+    'beam' = scalar beam walk — MEASURED 20-30x WORSE on the 1M
+    heightfield (0.048 vs 1.43 Mrays/s): the per-block convex beam hull
+    of an AO stratum (direction interval over 256 lanes with per-lane
+    shading frames) covers ~30% of the scene even at CONE_K=1 with the
+    coherent Frisvad basis, where the per-lane reach UNION touches ~60
+    tiles.  Kept for narrow-beam workloads (collimated shadow/eye
+    bundles), not gathers."""
+    import os
+
+    return os.environ.get("LUCILLE_BVH_WALK", "lane") == "beam"
+
+
+@partial(jax.jit, static_argnames=("interpret", "hbm", "tcull"))
+def _pallas_bvh_any_hit_beam(scene, org, dirn, live, tmax=None,
+                             interpret=False, hbm=False, tcull=False):
+    """Beam-walk occlusion over RAY_BLOCK blocks.  `live` masks the
+    lanes that participate in the beam bounds (parked/dead lanes would
+    otherwise blow the origin box up to the whole scene)."""
+    from lucille_tpu.accel.pallas_isect import _pack
+
+    tris, npad = _pack(scene)
+    nbox, nmeta = _node_arrays(scene)
+    tbox = _tile_boxes(scene, npad, tcull)
+    rays, B_real, B = _pad_rays(org, dirn, tmax)
+    live_w = jnp.zeros((B,), bool).at[:B_real].set(live)
+    beam = _beam_rows(
+        rays[0:3].T.reshape(B, 3), rays[3:6].T.reshape(B, 3), live_w
+    )
+
+    def spec(shape, index_map):
+        return pl.BlockSpec(shape, index_map, memory_space=_VMEM)
+
+    smem = pl.BlockSpec(memory_space=pltpu.SMEM)
+    occ, stat = pl.pallas_call(
+        partial(_bvh_anyhit_beam_kernel, n_nodes=scene.n_nodes, hbm=hbm,
+                tcull=tcull),
+        grid=(B // RAY_BLOCK,),
+        in_specs=[
+            spec((8, RAY_BLOCK), lambda i: (0, i)),
+            pl.BlockSpec((1, 8, 16), lambda i: (i, 0, 0),
+                         memory_space=pltpu.SMEM),
+            smem,
+            smem,
+            smem,
+            _tris_spec(hbm, npad),
+        ],
+        out_specs=[
+            spec((1, RAY_BLOCK), lambda i: (0, i)),
+            spec((3, RAY_BLOCK), lambda i: (0, i)),
+        ],
+        out_shape=[
+            jax.ShapeDtypeStruct((1, B), jnp.float32),
+            jax.ShapeDtypeStruct((3, B), jnp.int32),
+        ],
+        scratch_shapes=_hbm_scratch(hbm, max(1, scene.leaf_tiles_max)),
+        interpret=interpret,
+    )(rays, beam, nbox, nmeta, tbox, tris)
+    stats = stat[:, ::RAY_BLOCK].astype(jnp.float32).sum(axis=1)
+    return occ[0, :B_real] > 0.5, stats
+
+
+# ---------------------------------------------------------------------------
 # fused AO gather: strata loop outer, per-stratum BVH traversal inner
 # ---------------------------------------------------------------------------
 
@@ -969,7 +1209,7 @@ def pallas_bvh_ao_occlusion(
     if mode == "cone":
         return _pallas_bvh_ao_conetiled(
             scene, P_off, b0, b1, b2, hit, key, ntheta, nphi, interpret, hbm,
-            _cone_k(), _tile_cull_on(),
+            _cone_k(), _tile_cull_on(), _beam_walk_on(),
         )
     return _pallas_bvh_ao_occlusion(
         scene, P_off, b0, b1, b2, hit, key, ntheta, nphi, interpret, hbm,
@@ -1095,10 +1335,11 @@ def _cone_k() -> int:
 
 
 @partial(jax.jit,
-         static_argnames=("ntheta", "nphi", "interpret", "hbm", "K", "tcull"))
+         static_argnames=("ntheta", "nphi", "interpret", "hbm", "K", "tcull",
+                          "beam"))
 def _pallas_bvh_ao_conetiled(
     scene, P_off, b0, b1, b2, hit, key, ntheta, nphi, interpret, hbm=False,
-    K=16, tcull=False,
+    K=16, tcull=False, beam=True,
 ):
     """AO gather as (origin-patch x direction-cone) blocks.
 
@@ -1112,14 +1353,19 @@ def _pallas_bvh_ao_conetiled(
     key — round 2's frame-wide "rebinned" sort mixed origins from the
     whole image and measured worse; the fix is tiling, not sorting.
     """
-    oo, dd, order, layout = _conetile_rays(
+    oo, dd, order, live, layout = _conetile_rays(
         scene, P_off, b0, b1, b2, hit, key, ntheta, nphi, K
     )
     NG, ST, K, G, S, Bpad, B = layout
 
-    occ_flat, stats = _pallas_bvh_any_hit(
-        scene, oo, dd, None, interpret, hbm, tcull
-    )
+    if beam:
+        occ_flat, stats = _pallas_bvh_any_hit_beam(
+            scene, oo, dd, live, None, interpret, hbm, tcull
+        )
+    else:
+        occ_flat, stats = _pallas_bvh_any_hit(
+            scene, oo, dd, None, interpret, hbm, tcull
+        )
     occ_g = (
         occ_flat.astype(jnp.float32).reshape(NG, S, G).sum(axis=1).reshape(-1)
     )
@@ -1173,7 +1419,10 @@ def _conetile_rays(scene, P_off, b0, b1, b2, hit, key, ntheta, nphi, K):
     oo = jnp.broadcast_to(
         o_s.reshape(NG, 1, 1, G, 3), (NG, ST, K, G, 3)
     ).reshape(S * Bpad, 3)
-    return oo, dd, order, (NG, ST, K, G, S, Bpad, B)
+    live = jnp.broadcast_to(
+        hit_w[order].reshape(NG, 1, 1, G), (NG, ST, K, G)
+    ).reshape(S * Bpad)
+    return oo, dd, order, live, (NG, ST, K, G, S, Bpad, B)
 
 
 def pallas_bvh_ao_sunsky(
@@ -1190,13 +1439,18 @@ def pallas_bvh_ao_sunsky(
     if interpret is None:
         interpret = jax.default_backend() == "cpu"
     hbm = _use_hbm(_scene_npad(scene))
-    oo, dd, order, layout = _conetile_rays(
+    oo, dd, order, live, layout = _conetile_rays(
         scene, P_off, b0, b1, b2, hit, key, ntheta, nphi, _cone_k()
     )
     NG, ST, K, G, S, Bpad, B = layout
-    occ_flat, stats = _pallas_bvh_any_hit(
-        scene, oo, dd, None, interpret, hbm, _tile_cull_on()
-    )
+    if _beam_walk_on():
+        occ_flat, stats = _pallas_bvh_any_hit_beam(
+            scene, oo, dd, live, None, interpret, hbm, _tile_cull_on()
+        )
+    else:
+        occ_flat, stats = _pallas_bvh_any_hit(
+            scene, oo, dd, None, interpret, hbm, _tile_cull_on()
+        )
     vis = jnp.logical_not(occ_flat).astype(jnp.float32)
     # world (y-up) -> sky model (z-up): the reference's y/z swap
     # (lightsource.c:152-155)

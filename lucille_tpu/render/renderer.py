@@ -438,6 +438,50 @@ class Renderer:
                 )
                 for slot, ti in enumerate(group):
                     pending[ti] = (rnd, slot)
+        elif (
+            tile_cb is None
+            and progress_cb is None
+            and checkpoint is None
+            and not cropped
+            and len(tiles) > 1
+        ):
+            # ---- device-side frame accumulation -------------------------
+            # No streaming consumer (no live display tiles, no checkpoint):
+            # assemble the frame in a DEVICE buffer and pull it ONCE.  The
+            # per-tile host pulls cost ~RTT each on the tunneled link —
+            # measured ~25% of the AO bench frame at 6 tiles (r4 profile).
+            dev_img = jnp.zeros((H, W, 3), jnp.float32)
+            dev_alpha = jnp.zeros((H, W), jnp.float32)
+            dev_counters = jnp.zeros((4,), jnp.float32)
+            have_alpha = False
+            for ti, (x0, y0, _i, _j) in enumerate(tiles):
+                tkey = jax.random.fold_in(jax.random.fold_in(key, x0), y0)
+                img, aux = kernel(
+                    self.scene, jnp.int32(x0), jnp.int32(y0), jitter,
+                    weights, tkey,
+                )
+                th = min(tile_h, H - y0)
+                tw = min(tile_w, W - x0)
+                dev_img = jax.lax.dynamic_update_slice(
+                    dev_img, img[:th, :tw], (y0, x0, 0)
+                )
+                if "alpha" in aux:
+                    have_alpha = True
+                    dev_alpha = jax.lax.dynamic_update_slice(
+                        dev_alpha, aux["alpha"][:th, :tw], (y0, x0)
+                    )
+                dev_counters = dev_counters + aux["counters"]
+                done[ti] = True
+            # ONE bulk pull for the image + one for the counter vector
+            image = np.asarray(dev_img, dtype=np.float32)
+            if have_alpha:
+                alpha = np.asarray(dev_alpha, dtype=np.float32)
+            counters = np.asarray(dev_counters)
+            self.stats.add(nrays=int(counters[3]))
+            ntests_total += int(counters[0])
+            ntrav_total += int(counters[1])
+            nmiss_total += int(counters[2])
+            pending = None
         else:
             pending = []
             for ti, (x0, y0, _i, _j) in enumerate(tiles):
@@ -452,7 +496,8 @@ class Renderer:
                         self.scene, jnp.int32(x0), jnp.int32(y0), jitter, weights, tkey
                     )
                 )
-        for ti, (x0, y0, _i, _j) in enumerate(tiles):
+        for ti, (x0, y0, _i, _j) in enumerate(tiles if pending is not None
+                                              else ()):
             th = min(tile_h, H - y0)
             tw = min(tile_w, W - x0)
             if pending[ti] is None:  # recovered tile: replay to displays

@@ -33,23 +33,35 @@ from lucille_tpu.accel.dispatch import any_hit, closest_hit
 
 
 def ortho_basis(n):
-    """Per-ray orthonormal basis from normal (ri_ortho_basis,
-    reflection.c:312-331): pick the first axis where |n_i| < 0.6 as the
-    provisional up vector, else x."""
-    ax = jnp.abs(n)
-    inside = ax < 0.6
-    # first True index among x,y,z else 0 (reference falls back to i=0)
-    pick = jnp.where(
-        inside[..., 0],
-        0,
-        jnp.where(inside[..., 1], 1, jnp.where(inside[..., 2], 2, 0)),
-    )
-    up = jax.nn.one_hot(pick, 3, dtype=n.dtype)
-    b0 = jnp.cross(up, n)
+    """Per-ray orthonormal basis from normal.
+
+    Capability-equivalent of ri_ortho_basis (reflection.c:312-331), with
+    one TPU-motivated deviation: the reference picks the provisional up
+    axis as "first axis with |n_i| < 0.6", a branch that flips between
+    neighboring lanes and scatters the basis AZIMUTH almost randomly
+    across a coherent block.  Any orthonormal frame leaves the cosine-
+    weighted estimator unbiased, so here the axis choice is a smooth
+    function of n (y unless n is nearly vertical-in-y, then x): lanes
+    with similar normals get similar frames, which is what makes a
+    stratum's gathered directions a COMPACT WORLD-SPACE CONE — the
+    property the cone-tiled blocks and the scalar beam walk
+    (pallas_bvh.py) live on."""
+    # branchless Frisvad/Duff frame: continuous in n everywhere except
+    # n = (0,0,-1), so neighboring normals get neighboring frames
+    nx = n[..., 0]
+    ny = n[..., 1]
+    nz = n[..., 2]
+    s = jnp.where(nz >= 0.0, 1.0, -1.0)
+    a = -1.0 / (s + nz)
+    # the a term blows up only at nz -> -1; clamp for safety (frame
+    # quality is irrelevant exactly at the singular antipode)
+    a = jnp.clip(a, -1e3, 1e3)
+    b = nx * ny * a
+    b0 = jnp.stack([1.0 + s * nx * nx * a, s * b, -s * nx], axis=-1)
+    b1 = jnp.stack([b, s + ny * ny * a, -ny], axis=-1)
     b0 = b0 / jnp.maximum(
         jnp.linalg.norm(b0, axis=-1, keepdims=True), 1e-20
     )
-    b1 = jnp.cross(n, b0)
     b1 = b1 / jnp.maximum(
         jnp.linalg.norm(b1, axis=-1, keepdims=True), 1e-20
     )

@@ -32,12 +32,19 @@ import numpy as np
 
 
 def _sync(x):
-    """True barrier on axon: pull one element to the host."""
+    """True barrier on axon: pull ONE ELEMENT of every leaf to the host.
+    The slice computes on device after the producer, so the pull blocks
+    until the stage is done without paying a bulk device->host transfer
+    (25 MB of rays costs ~600 ms on the tunnel and would swamp the
+    stage being measured)."""
     import jax
 
     leaves = jax.tree_util.tree_leaves(x)
     for leaf in leaves:
-        np.asarray(leaf)
+        if hasattr(leaf, "ravel"):
+            np.asarray(leaf.ravel()[:1])
+        else:
+            np.asarray(leaf)
     return x
 
 
