@@ -39,6 +39,33 @@ _XYZ2RGB = np.array(
 )
 
 
+def _cie_system_matrix() -> np.ndarray:
+    """XYZ -> RGB matrix of the reference's CIEsystem color system
+    (specrend.c:79: wide-gamut CIE primaries, equal-energy white),
+    derived exactly like xyz_to_rgb (specrend.c:127-173)."""
+    xr, yr = 0.7355, 0.2645
+    xg, yg = 0.2658, 0.7243
+    xb, yb = 0.1669, 0.0085
+    xw, yw = 1.0 / 3.0, 1.0 / 3.0
+    zr, zg, zb, zw = 1 - xr - yr, 1 - xg - yg, 1 - xb - yb, 1 - xw - yw
+    m = np.array(
+        [
+            [yg * zb - yb * zg, xb * zg - xg * zb, xg * yb - xb * yg],
+            [yb * zr - yr * zb, xr * zb - xb * zr, xb * yr - xr * yb],
+            [yr * zg - yg * zr, xg * zr - xr * zg, xr * yg - xg * yr],
+        ]
+    )
+    white = m @ np.array([xw, yw, zw]) / yw
+    return m / white[:, None]
+
+
+_XYZ2RGB_CIE = _cie_system_matrix()
+
+
+def _xyz_to_rgb_cie(xyz: np.ndarray) -> np.ndarray:
+    return _XYZ2RGB_CIE @ np.asarray(xyz)
+
+
 @dataclass
 class PreethamSunSky:
     """Sun + sky parameter block (reference ri_sunsky_t).
@@ -196,27 +223,43 @@ class PreethamSunSky:
         above = (cz > 0.0)[..., None]
         return xp.where(above, rgb, xp.zeros_like(rgb))
 
-    # RADIANCE amplitude calibrated against the reference's spectral sun
-    # (compute_attenuated_sunlight -> xyz_to_rgb): ratio measured 5.0e5 -
-    # 5.2e5 across times of day / turbidities (4.0e5 at very low sun)
-    _SUN_AMPLITUDE = 5.1e5
+    def sun_spectrum(self) -> np.ndarray:
+        """Attenuated direct-beam solar spectrum, 380..780 nm at 10 nm
+        (compute_attenuated_sunlight, sunsky.c:78-137): extraterrestrial
+        irradiance through Rayleigh scattering, aerosol (beta from
+        turbidity), ozone, mixed-gas and water-vapor absorption along the
+        relative optical air mass of the sun's zenith angle."""
+        from lucille_tpu.lights.sunsky_data import K_G, K_O, K_WA, SOL
+
+        th = self.theta_s
+        alpha, lozone, w = 1.3, 0.35, 2.0
+        beta = 0.04608365822050 * self.turbidity - 0.04586025928522
+        m = 1.0 / (
+            math.cos(th) + 0.15 * (93.885 - math.degrees(th)) ** -1.253
+        )
+        lam = np.arange(380.0, 781.0, 10.0) / 1000.0  # um
+        tau_r = np.exp(-m * 0.008735 * lam**-4.08)
+        tau_a = np.exp(-m * beta * lam**-alpha)
+        tau_o = np.exp(-m * K_O * lozone)
+        tau_g = np.exp(
+            -1.41 * K_G * m / (1.0 + 118.93 * K_G * m) ** 0.45
+        )
+        tau_wa = np.exp(
+            -0.2385 * K_WA * w * m / (1.0 + 20.07 * K_WA * w * m) ** 0.45
+        )
+        # 100.0: solAmplitudes unit fix, sunsky.c:131
+        return 100.0 * SOL * tau_r * tau_a * tau_o * tau_g * tau_wa
 
     def sunlight_rgb(self) -> np.ndarray:
-        """Sun disc radiance as RGB (ri_sunsky_get_sunlight_rgb).
+        """Sun disc radiance as RGB via the FULL spectral pipeline
+        (sunsky.c:225-237): compute_attenuated_sunlight ->
+        spectrum_to_xyz (unnormalized, 5 nm double-count semantics,
+        specrend.c:366-431) -> xyz_to_rgb with the reference's CIEsystem
+        primaries and equal-energy white (specrend.c:79,127-173); zero
+        below the horizon."""
+        from lucille_tpu.lights.sunsky_data import CIE10_W
 
-        Spectral direct-beam attenuation condensed to a 3-band heuristic
-        (Rayleigh + aerosol optical depth at representative wavelengths,
-        scaled by air mass) with amplitude calibrated to the reference's
-        spectral pipeline; zero below the horizon (sunsky.c:225-230).
-        Chromaticity matches the spectral path within ~7%; magnitude
-        within ~25% at extreme sun angles (test_sunsky_golden.py).
-        """
         if self.theta_s >= 0.5 * math.pi:
-            return np.zeros(3) * self.sun_scale
-        th = min(self.theta_s, math.radians(89.9))
-        m = 1.0 / (math.cos(th) + 0.15 * (93.885 - math.degrees(th)) ** -1.253)
-        beta = 0.04608 * self.turbidity - 0.04586
-        wavelengths = np.array([0.610, 0.550, 0.470])  # um, R/G/B-ish
-        tau_r = np.exp(-m * 0.008735 * wavelengths**-4.08)
-        tau_a = np.exp(-m * beta * wavelengths**-1.3)
-        return tau_r * tau_a * (self.sun_scale * self._SUN_AMPLITUDE)
+            return np.zeros(3)
+        xyz = self.sun_spectrum() @ CIE10_W  # (3,)
+        return np.maximum(_xyz_to_rgb_cie(xyz), 0.0) * self.sun_scale
