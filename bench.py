@@ -30,13 +30,27 @@ RIB = "/root/reference/examples/ambient_occlusion/ambient_occlusion.rib"
 RIB_PS = "/root/reference/examples/plane_sphere/Scene_DEFAULT_Set0.rib"
 
 
-def _measure(rib, width, height, tile, method=None):
+def _measure(rib, width, height, tile, method=None, inject=None):
     from lucille_tpu.render.renderer import Renderer
     from lucille_tpu.ri.api import RiState
-    from lucille_tpu.rib.parser import parse_rib_file
+    from lucille_tpu.rib.parser import parse_rib, parse_rib_file
 
     state = RiState()
-    parse_rib_file(rib, state)
+    if inject:
+        # splice extra RIB (e.g. a sunsky light) after WorldBegin
+        import os
+
+        text = open(rib).read().replace(
+            "WorldBegin", "WorldBegin\n" + inject, 1
+        )
+        cwd = os.getcwd()
+        os.chdir(os.path.dirname(rib))
+        try:
+            parse_rib(text, state)
+        finally:
+            os.chdir(cwd)
+    else:
+        parse_rib_file(rib, state)
     state.Format(width, height)
     if method is not None:
         state.options.render_method = method
@@ -87,6 +101,21 @@ def main() -> int:
             ps[f"{method}_seconds"] = dt_m
         except (OSError, ValueError) as e:
             ps[f"{method}_error"] = str(e)
+
+    # sunsky-AO on the same scene: must ride the fused Pallas path (the
+    # per-stratum occlusion bitmask gather, transport/ao.py r4), so its
+    # throughput stays within ~2x of plain AO instead of the ~5x-slower
+    # wavefront scan it used to fall back to
+    try:
+        rays_sk, dt_sk = _measure(
+            RIB, width, height, tile,
+            inject='AreaLightSource "sunsky" 1 "hour" [10.0] '
+                   '"turbidity" [2.2]\n',
+        )
+        ps["sunsky_ao_rays_per_sec"] = rays_sk / dt_sk
+        ps["sunsky_ao_seconds"] = dt_sk
+    except Exception as e:  # noqa: BLE001
+        ps["sunsky_ao_error"] = f"{type(e).__name__}: {e}"
 
     # large-scene throughput (the 131k-tri tile-BVH point; bench_large.py
     # has the full CPU-vs-TPU sweep incl. the 1M-tri heightfield)

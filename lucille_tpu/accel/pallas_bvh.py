@@ -49,10 +49,12 @@ from lucille_tpu.accel.pallas_isect import RAY_BLOCK, TC, _load_tile_cols
 
 _VMEM = pltpu.VMEM
 
-# node-array SMEM budget: 8192 nodes x 36 B = 288 KB, safely under the
-# measured 512 KB scratch ceiling with room for the ray rows
-# (LUCILLE_BVH_NODES overrides for experiments)
-NODE_BUDGET = 8192
+# node-array SMEM budget (LUCILLE_BVH_NODES overrides).  36 B/node.
+# r4 sweep on the 1M heightfield: 3072 -> 1.19, 8192 -> 1.43,
+# 16384 -> 1.55 Mrays/s (finer leaves cut pair tests 22% for 35% more
+# — cheaper — node visits); 24576 (885 KB) fails to compile, so 16384
+# (590 KB) is the measured compile ceiling sweet spot.
+NODE_BUDGET = 16384
 
 
 def _node_budget() -> int:
@@ -1328,10 +1330,13 @@ def _stratum_tile_perm(ntheta: int, nphi: int, K: int) -> np.ndarray:
 
 def _cone_k() -> int:
     """Strata per cone-tiled block (LUCILLE_BVH_CONE_K).  256/K Morton-
-    adjacent origins share a block with K cone-adjacent strata."""
+    adjacent origins share a block with K cone-adjacent strata.
+    r4 sweep at 1M tris: K=32 -> 1.20, 16 -> 1.43, 8 -> 1.51 Mrays/s
+    (with the 16k-node tree, K=8 -> 1.62); K=8's narrower cones beat
+    K=16's tighter origin patches under the Frisvad-coherent basis."""
     import os
 
-    return int(os.environ.get("LUCILLE_BVH_CONE_K", 16))
+    return int(os.environ.get("LUCILLE_BVH_CONE_K", 8))
 
 
 @partial(jax.jit,

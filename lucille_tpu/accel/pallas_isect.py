@@ -224,9 +224,14 @@ TRANSPOSED_MAX = 16384
 
 
 def _use_tposed(npad: int) -> bool:
+    """Opt-in (LUCILLE_ISECT_TPOSED=1): MEASURED SLOWER on v5e — the
+    width-1 lane loads lower to per-element broadcasts that cost MORE
+    than the 9 per-tile (1, TC) -> (TC, 1) relayouts they replace (AO
+    bench 126 -> 106 Mrays/s, whitted 0.41 -> 0.63 s).  Kept for the
+    sub-128 tile-height experiments, which need sublane-major columns."""
     import os
 
-    if os.environ.get("LUCILLE_ISECT_TPOSED") == "0":
+    if os.environ.get("LUCILLE_ISECT_TPOSED") != "1":
         return False
     return npad <= TRANSPOSED_MAX
 

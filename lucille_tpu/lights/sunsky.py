@@ -209,21 +209,36 @@ class PreethamSunSky:
         x = self.xz * ratio(self.Ax, self.Bx, self.Cx, self.Dx, self.Ex)
         y = self.yz * ratio(self.Ay, self.By, self.Cy, self.Dy, self.Ey)
 
-        # xyY -> XYZ -> RGB (specrend-style colorimetry, sunsky.c:330-418);
-        # Y converts kcd/m^2 -> cd/m^2 exactly like the reference
-        # (zenith_Y *= 1000, sunsky.c:254) so absolute sky radiance
-        # matches CPU-lucille's HDR output scale
-        y_safe = xp.maximum(y, 1e-5)
-        Ycd = Y * 1000.0
-        X = x / y_safe * Ycd
-        Z = (1.0 - x - y) / y_safe * Ycd
-        XYZ = xp.stack([X, Ycd, Z], axis=-1)
-        rgb = XYZ @ xp.asarray(_XYZ2RGB)  # row-vector form: _XYZ2RGB is M^T
+        # (x, y, Y) -> RGB via the reference's EXACT spectral pipeline
+        # (ri_sunsky_get_sky_spectrum + get_sky_rgb, sunsky.c:310-418):
+        # reconstruct a CIE-daylight spectrum from the Perez chromaticity
+        # (S0 + M1*S1 + M2*S2), scale it so its Y equals the Perez
+        # luminance (kcd -> cd/m^2 via the reference's zenith_Y *= 1000),
+        # then integrate against the CIE observer and convert with the
+        # CIEsystem primaries.  This is what pins frame-level golden
+        # parity — the direct xyY->sRGB shortcut used through r3 matched
+        # luminance but shifted chroma ~25% per channel.
+        from lucille_tpu.lights.sunsky_data import CIE10_W, S0, S1, S2
+
+        den = 0.0241 + 0.2562 * x - 0.7341 * y
+        den = xp.where(xp.abs(den) > 1e-9, den, 1e-9)
+        M1 = (-1.3515 - 1.7703 * x + 5.9114 * y) / den
+        M2 = (0.03 - 31.4424 * x + 30.0717 * y) / den
+        spec = (
+            xp.asarray(S0)[None]
+            + M1[..., None] * xp.asarray(S1)[None]
+            + M2[..., None] * xp.asarray(S2)[None]
+        )
+        xyz0 = spec @ xp.asarray(CIE10_W)  # (..., 3), unnormalized
+        ly = xyz0[..., 1]
+        ly = xp.where(xp.abs(ly) > 1e-9, ly, 1.0)
+        XYZ = xyz0 * (Y * 1000.0 / ly)[..., None]
+        rgb = XYZ @ xp.asarray(_XYZ2RGB_CIE.T)
         rgb = xp.maximum(rgb, 0.0)
         above = (cz > 0.0)[..., None]
         return xp.where(above, rgb, xp.zeros_like(rgb))
 
-    def sun_spectrum(self) -> np.ndarray:
+    def sun_spectrum(self, turbidity: float | None = None) -> np.ndarray:
         """Attenuated direct-beam solar spectrum, 380..780 nm at 10 nm
         (compute_attenuated_sunlight, sunsky.c:78-137): extraterrestrial
         irradiance through Rayleigh scattering, aerosol (beta from
@@ -232,8 +247,10 @@ class PreethamSunSky:
         from lucille_tpu.lights.sunsky_data import K_G, K_O, K_WA, SOL
 
         th = self.theta_s
+        if turbidity is None:
+            turbidity = self.turbidity
         alpha, lozone, w = 1.3, 0.35, 2.0
-        beta = 0.04608365822050 * self.turbidity - 0.04586025928522
+        beta = 0.04608365822050 * turbidity - 0.04586025928522
         m = 1.0 / (
             math.cos(th) + 0.15 * (93.885 - math.degrees(th)) ** -1.253
         )
@@ -250,16 +267,28 @@ class PreethamSunSky:
         # 100.0: solAmplitudes unit fix, sunsky.c:131
         return 100.0 * SOL * tau_r * tau_a * tau_o * tau_g * tau_wa
 
-    def sunlight_rgb(self) -> np.ndarray:
+    def sunlight_rgb(self, turbidity: float | None = None) -> np.ndarray:
         """Sun disc radiance as RGB via the FULL spectral pipeline
         (sunsky.c:225-237): compute_attenuated_sunlight ->
         spectrum_to_xyz (unnormalized, 5 nm double-count semantics,
         specrend.c:366-431) -> xyz_to_rgb with the reference's CIEsystem
         primaries and equal-energy white (specrend.c:79,127-173); zero
-        below the horizon."""
+        below the horizon.
+
+        turbidity: override for REFERENCE-BUG parity only.  The
+        reference's sun light color comes from ri_sunsky_get_sunlight_rgb
+        (lightsource.c:165), which reads sunsky->turbidity — a field
+        ri_sunsky_init NEVER STORES (sunsky.c:184-240), so CPU-lucille
+        shades the sun with uninitialized memory (0.0 on a fresh heap:
+        beta goes negative and the sun comes out ~1.6x brighter and
+        gray).  Passing turbidity=0.0 reproduces that frame bit-for-bit
+        (verified: ours(T=0) = [484332, 524340, 483849] vs the
+        reference render's light->col [484332, 524340, 483850]); the
+        default path uses the REAL turbidity, i.e. what sunsky.c clearly
+        intended."""
         from lucille_tpu.lights.sunsky_data import CIE10_W
 
         if self.theta_s >= 0.5 * math.pi:
             return np.zeros(3)
-        xyz = self.sun_spectrum() @ CIE10_W  # (3,)
+        xyz = self.sun_spectrum(turbidity) @ CIE10_W  # (3,)
         return np.maximum(_xyz_to_rgb_cie(xyz), 0.0) * self.sun_scale

@@ -439,17 +439,20 @@ class Renderer:
                 for slot, ti in enumerate(group):
                     pending[ti] = (rnd, slot)
         elif (
-            tile_cb is None
+            os.environ.get("LUCILLE_FRAME_ACCUM") == "1"
+            and tile_cb is None
             and progress_cb is None
             and checkpoint is None
             and not cropped
             and len(tiles) > 1
         ):
-            # ---- device-side frame accumulation -------------------------
-            # No streaming consumer (no live display tiles, no checkpoint):
-            # assemble the frame in a DEVICE buffer and pull it ONCE.  The
-            # per-tile host pulls cost ~RTT each on the tunneled link —
-            # measured ~25% of the AO bench frame at 6 tiles (r4 profile).
+            # ---- device-side frame accumulation (opt-in) ----------------
+            # Assemble the frame in a DEVICE buffer and pull it ONCE.
+            # MEASURED SLOWER on this tunnel (108 vs 128 Mrays/s, AO
+            # bench): the single bulk image pull serializes at the end,
+            # while the default path's per-tile pulls overlap device
+            # compute.  Kept opt-in (LUCILLE_FRAME_ACCUM=1) for links
+            # where per-transfer latency dominates bandwidth.
             dev_img = jnp.zeros((H, W, 3), jnp.float32)
             dev_alpha = jnp.zeros((H, W), jnp.float32)
             dev_counters = jnp.zeros((4,), jnp.float32)

@@ -8,6 +8,7 @@ scene argument, or via `python -m lucille_tpu.shell`.
 
 from __future__ import annotations
 
+import math
 import shlex
 import sys
 
@@ -22,6 +23,12 @@ HELP = """commands:
   set <option> <value>    set a raw option field
   stat                    print render statistics
   matrix                  print the camera matrix
+  view orbit <yaw> [pitch]   orbit the camera about the scene center (deg)
+  view dolly <dist>          move along the view direction
+  view pan <dx> <dy>         truck/pedestal in camera axes
+  view save <file> | load <file>   save/restore the camera ('e'/'s')
+  g                       render from the current view ('g' key,
+                          src/testbed/README.txt)
   quit / exit             leave the shell
 """
 
@@ -65,6 +72,87 @@ class Shell:
         drv.close()
         print(self.renderer.stats.report())
 
+    # -- interactive viewpoint navigation (the testbed's orbit/render
+    # loop, src/testbed/README.txt: 'g' render-from-view, 'e'/'s'
+    # save/load view, simplerender.cpp) -------------------------------
+
+    def _scene_center(self):
+        import numpy as np
+
+        if self.renderer is not None:
+            sc = self.renderer.scene
+            return 0.5 * (
+                np.asarray(sc.bbox_min) + np.asarray(sc.bbox_max)
+            )
+        allv = [
+            np.asarray(g.positions).reshape(-1, 3)
+            for g in self.state.scene.geoms
+        ]
+        if allv:
+            v = np.concatenate(allv)
+            return 0.5 * (v.min(axis=0) + v.max(axis=0))
+        return np.zeros(3)
+
+    def cmd_view(self, *args):
+        import numpy as np
+
+        if self.state is None:
+            print("no scene loaded")
+            return
+        cam = self.state.camera
+        c2w = np.asarray(cam.camera_to_world, dtype=np.float64).copy()
+        sub = args[0] if args else "show"
+        if sub == "orbit":
+            yaw = math.radians(float(args[1]))
+            pitch = math.radians(float(args[2])) if len(args) > 2 else 0.0
+            target = self._scene_center()
+            eye = c2w[3, :3].copy()
+            # rotate the eye (and the frame) about the target: yaw around
+            # world y, pitch around the camera's right axis
+            def rot(axis, ang):
+                axis = axis / max(np.linalg.norm(axis), 1e-20)
+                x, y, z = axis
+                c, s = math.cos(ang), math.sin(ang)
+                C = 1 - c
+                return np.array([
+                    [c + x * x * C, x * y * C - z * s, x * z * C + y * s],
+                    [y * x * C + z * s, c + y * y * C, y * z * C - x * s],
+                    [z * x * C - y * s, z * y * C + x * s, c + z * z * C],
+                ])
+            R = rot(np.array([0.0, 1.0, 0.0]), yaw)
+            if pitch:
+                R = rot(c2w[0, :3], pitch) @ R
+            # row-vector convention: frame rows transform by right-mult
+            c2w[3, :3] = (eye - target) @ R.T + target
+            c2w[0:3, :3] = c2w[0:3, :3] @ R.T
+        elif sub == "dolly":
+            d = float(args[1])
+            fwd = c2w[2, :3] / max(np.linalg.norm(c2w[2, :3]), 1e-20)
+            c2w[3, :3] += d * fwd
+        elif sub == "pan":
+            dx, dy = float(args[1]), float(args[2])
+            right = c2w[0, :3] / max(np.linalg.norm(c2w[0, :3]), 1e-20)
+            up = c2w[1, :3] / max(np.linalg.norm(c2w[1, :3]), 1e-20)
+            c2w[3, :3] += dx * right + dy * up
+        elif sub == "save":
+            np.save(args[1] if args[1].endswith(".npy") else args[1] + ".npy",
+                    c2w)
+            print(f"view saved to {args[1]}")
+            return
+        elif sub == "load":
+            path = args[1] if args[1].endswith(".npy") else args[1] + ".npy"
+            c2w = np.load(path)
+            print(f"view loaded from {path}")
+        elif sub == "show":
+            print(c2w)
+            return
+        else:
+            print(f"unknown view subcommand '{sub}'")
+            return
+        cam.camera_to_world = c2w
+        # camera is baked into the compiled tile kernel: rebuild
+        self.renderer = None
+
     def cmd_stat(self):
         if self.renderer is not None:
             print(self.renderer.stats.report())
@@ -97,6 +185,10 @@ class Shell:
             elif cmd == "file":
                 self.cmd_file(args[0])
             elif cmd == "render":
+                self.cmd_render(args[0] if args else None)
+            elif cmd == "view":
+                self.cmd_view(*args)
+            elif cmd == "g":  # testbed 'g': render from current view
                 self.cmd_render(args[0] if args else None)
             elif cmd == "nsamples":
                 self.state.options.gather_nsamples = int(args[0])

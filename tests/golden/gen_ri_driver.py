@@ -157,6 +157,12 @@ def gen(rib_path: str, out_path: str, format_wh=None) -> None:
         elif name == "Surface":
             pos, params = _split_params(args, 1)
             lines.append(f'  RiSurfaceV("{pos[0]}", 0, tok, val);')
+        elif name in ("AreaLightSource", "LightSource"):
+            # drives lightsource.c's sunsky/dome/distant creation so the
+            # reference's sunsky-AO branch (ambientocclusion.c:154-332)
+            # renders golden frames
+            pos, params = _split_params(args, 2)
+            emit_param_call(f"Ri{name}V", [f'"{pos[0]}"'], params)
         elif name == "Option":
             pos, params = _split_params(args, 1)
             emit_param_call("RiOptionV", [f'"{pos[0]}"'], params)

@@ -215,3 +215,74 @@ class TestSunskyParity:
         np.testing.assert_allclose(
             mine / mine.mean(), ref / ref.mean(), atol=0.02
         )
+
+
+@pytest.mark.skipif(
+    not os.path.exists("/root/reference/src/render/sunsky.c"),
+    reason="reference unavailable",
+)
+class TestSunskyFrameGolden:
+    """Full-frame sunsky-AO parity vs CPU-lucille (golden produced by the
+    reference itself through the Ri* driver harness — the
+    ambient_occlusion scene + a sunsky light, gather_sunsky branch,
+    ambientocclusion.c:154-332)."""
+
+    GOLDEN = os.path.join(os.path.dirname(__file__), "golden",
+                          "sunsky_80x60_ref.hdr")
+    RIB = os.path.join(os.path.dirname(__file__), "golden",
+                       "sunsky_scene.rib")
+
+    def _render(self, sun_turbidity=None):
+        from lucille_tpu.render.renderer import Renderer
+        from lucille_tpu.ri.api import RiState
+        from lucille_tpu.rib.parser import parse_rib_file
+
+        cwd = os.getcwd()
+        os.chdir("/root/reference/examples/ambient_occlusion")
+        try:
+            s = RiState()
+            parse_rib_file(self.RIB, s)
+            s.Format(80, 60)
+            if sun_turbidity is not None:
+                sk = next(
+                    l.sunsky for l in s.scene.lights if l.type == "sunsky"
+                )
+                for li in s.scene.lights:
+                    if li.type == "sun":
+                        li.color = sk.sunlight_rgb(turbidity=sun_turbidity)
+            return Renderer(s.scene, tile_size=32).render_frame()[::-1]
+        finally:
+            os.chdir(cwd)
+
+    def test_frame_matches_reference(self):
+        """With the reference's uninitialized-turbidity sun emulated
+        (sunlight_rgb(turbidity=0.0) — see lights/sunsky.py docstring for
+        the sunsky.c:431 bug), the frame matches CPU-lucille to within
+        MC noise + a uniform few-percent occlusion difference."""
+        from lucille_tpu.imageio.rgbe import read_hdr
+
+        golden = read_hdr(self.GOLDEN)
+        img = self._render(sun_turbidity=0.0)
+        gl, ml = golden.mean(-1), img.mean(-1)
+        hit = ml > 0
+        assert np.corrcoef(gl.ravel(), ml.ravel())[0, 1] > 0.995
+        ratio = img[hit].mean(0) / golden[hit].mean(0)
+        assert (ratio > 0.90).all() and (ratio < 1.05).all(), ratio
+        rel = np.abs(ml - gl) / np.maximum(gl, 1.0)
+        assert rel[hit].mean() < 0.08
+
+    def test_correct_sun_differs_from_buggy_reference(self):
+        """The default (intended-physics) sun uses the REAL turbidity:
+        measurably dimmer and redder than the reference's
+        uninitialized-memory sun."""
+        from lucille_tpu.lights.sunsky import PreethamSunSky
+
+        sk = PreethamSunSky(julian_day=20, hour=10.5, turbidity=2.2)
+        correct = sk.sunlight_rgb()
+        buggy = sk.sunlight_rgb(turbidity=0.0)
+        assert correct.sum() < 0.75 * buggy.sum()
+        # bit-level pin of the bug emulation (measured vs the reference
+        # render's light->col on this container)
+        np.testing.assert_allclose(
+            buggy, [484331.56, 524340.44, 483849.5], rtol=1e-4
+        )

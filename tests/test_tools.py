@@ -252,3 +252,50 @@ class TestBVHViz:
         nl = sum(1 for line in text.splitlines() if line.startswith("l "))
         assert nv == 8 * scene.n_nodes
         assert nl == 12 * scene.n_nodes
+
+
+class TestInteractiveViewLoop:
+    """The testbed's 'g'-key loop (src/testbed/README.txt:1-10): load a
+    scene, move the camera, re-render on demand — scripted through the
+    shell, headless."""
+
+    def test_two_viewpoints_of_plane_sphere(self, tmp_path, monkeypatch):
+        import os
+
+        import numpy as np
+
+        from lucille_tpu.imageio.rgbe import read_hdr
+        from lucille_tpu.shell import Shell
+
+        rib = "/root/reference/examples/plane_sphere/Scene_DEFAULT_Set0.rib"
+        if not os.path.exists(rib):
+            import pytest
+
+            pytest.skip("reference tree unavailable")
+        monkeypatch.chdir(os.path.dirname(rib))
+        sh = Shell()
+        out1 = str(tmp_path / "v1.hdr")
+        out2 = str(tmp_path / "v2.hdr")
+        view = str(tmp_path / "saved_view")
+        for line in (
+            f"file {rib}",
+            "format 48 32",
+            "nsamples 9",
+            f"view save {view}",     # 'e': save view
+            f"g {out1}",             # 'g': render from current view
+            "view orbit 35 10",      # navigate
+            "view dolly 0.5",
+            f"g {out2}",             # 'g' again from the new view
+        ):
+            assert sh.one(line) is True
+        img1 = read_hdr(out1)
+        img2 = read_hdr(out2)
+        assert img1.shape == (32, 48, 3) and np.isfinite(img1).all()
+        assert img1.mean() > 0 and img2.mean() > 0
+        # a 35-degree orbit moves the image content
+        assert np.abs(img1 - img2).mean() > 1e-3
+        # 's': restoring the saved view reproduces viewpoint 1 exactly
+        out3 = str(tmp_path / "v3.hdr")
+        assert sh.one(f"view load {view}") is True
+        assert sh.one(f"g {out3}") is True
+        np.testing.assert_array_equal(read_hdr(out3), img1)
