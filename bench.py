@@ -93,7 +93,11 @@ def main() -> int:
         pass
 
     # every non-AO integrator on the same bundled scene, so BENCH_r*.json
-    # catches regressions off the AO path (VERDICT r1 weak item 4)
+    # catches regressions off the AO path (VERDICT r1 weak item 4).
+    # NOTE (r4): bounce ray accounting now counts LIVE lanes only
+    # (raytrace.c:96 counts actual ri_raytrace calls; counting the full
+    # wavefront width per bounce inflated pathtrace ~5x in r2/r3).
+    # Compare *_seconds across rounds, not Mrays/s, for those two.
     for method in ("whitted", "pathtrace"):
         try:
             rays_m, dt_m = _measure(RIB, width, height, tile, method=method)

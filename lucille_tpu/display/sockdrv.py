@@ -92,7 +92,12 @@ class SocketDriver(DisplayDriver):
             except OSError:
                 if not spawned and self.host in ("127.0.0.1", "localhost"):
                     spawned = True
-                    if not self._spawn_viewer():
+                    if self._spawn_viewer():
+                        # we KNOW a viewer is coming: allow for a slow
+                        # interpreter start on a loaded host (measured
+                        # >5 s under full CPU contention)
+                        deadline = time.time() + 30.0
+                    else:
                         # nothing listening and no viewer to wait for:
                         # fail fast so callers (framebuffer fallback
                         # chain) don't stall 5 s per render

@@ -161,12 +161,38 @@ class EnvMap:
         return self._sis[nsamples]
 
     def load_sis(self, path) -> None:
-        """Bind precomputed SIS samples (light->sisfile, light.h:51-52)."""
-        data = np.load(path)
-        self._sis["file"] = (
-            np.asarray(data["dirs"], np.float32),
-            np.asarray(data["rgb"], np.float32),
-        )
+        """Bind precomputed SIS samples (light->sisfile, light.h:51-52).
+
+        Accepts BOTH the repo's .npz (dirs + rgb) and the reference
+        sisgen's text format (tools/sis/sis.c:96-101 writes
+        ``N\\nW H\\nx y r g b`` with integer pixel coordinates into the
+        angular-map input) — a gensamples.dat produced by the reference
+        toolchain loads unchanged.  Pixel coords invert the Debevec
+        angular-map parametrization this module fetches with
+        (s = .5 + .5*dx*r, view axis -z)."""
+        try:
+            data = np.load(path)
+            self._sis["file"] = (
+                np.asarray(data["dirs"], np.float32),
+                np.asarray(data["rgb"], np.float32),
+            )
+            return
+        except (ValueError, OSError, KeyError):
+            pass  # not an npz: fall through to gensamples.dat text
+        with open(path) as f:
+            tokens = f.read().split()
+        n = int(tokens[0])
+        w, h = int(tokens[1]), int(tokens[2])
+        rows = np.asarray(tokens[3 : 3 + 5 * n], np.float64).reshape(n, 5)
+        u = 2.0 * (rows[:, 0] + 0.5) / w - 1.0
+        v = 1.0 - 2.0 * (rows[:, 1] + 0.5) / h
+        rho = np.sqrt(u * u + v * v)
+        theta = np.pi * np.minimum(rho, 1.0)
+        s = np.where(rho > 1e-9, np.sin(theta) / np.maximum(rho, 1e-9), 0.0)
+        dirs = np.stack(
+            [u * s, v * s, -np.cos(theta)], axis=-1
+        ).astype(np.float32)
+        self._sis["file"] = (dirs, rows[:, 2:5].astype(np.float32))
 
     @property
     def file_sis(self):

@@ -270,3 +270,44 @@ class TestSunskyAO:
             '[-60 2 -60  60 2 -60  60 2 60  -60 2 60]\n'
         )
         assert roofed < 0.25 * open_sky
+
+
+class TestReferenceSisFile:
+    def test_gensamples_dat_loads(self, tmp_path):
+        """A reference-toolchain sisfile (tools/sis/sis.c:96-101 text
+        format: N / W H / x y r g b rows) loads into the structured
+        sampler: pixel coords invert the angular-map parametrization."""
+        from lucille_tpu.lights.envmap import EnvMap
+
+        w = h = 64
+        # three samples: map center (view axis -z), right edge midline
+        # (+x hemisphere boundary), and an off-axis point
+        # rho = 0.5 (three-quarter x) is theta = pi/2: the +x direction
+        lines = ["3", f"{w} {h}",
+                 f"{w//2} {h//2} 5.0 4.0 3.0",
+                 f"{3*w//4} {h//2} 1.0 1.0 1.0",
+                 f"{w//2 + 8} {h//2} 2.0 2.0 2.0"]
+        p = tmp_path / "gensamples.dat"
+        p.write_text("\n".join(lines) + "\n")
+        env = EnvMap(np.ones((h, w, 3), np.float32), mapping="angular")
+        env.load_sis(str(p))
+        dirs, rgb = env.file_sis
+        assert dirs.shape == (3, 3) and rgb.shape == (3, 3)
+        np.testing.assert_allclose(rgb[0], [5.0, 4.0, 3.0])
+        # center pixel looks down the view axis (-z), unit length
+        assert dirs[0][2] < -0.99
+        np.testing.assert_allclose(np.linalg.norm(dirs, axis=-1), 1.0,
+                                   atol=1e-5)
+        # edge-midline pixel maps near the +x direction (theta ~ pi/2)
+        assert dirs[1][0] > 0.9
+
+    def test_npz_still_loads(self, tmp_path):
+        from lucille_tpu.lights.envmap import EnvMap
+
+        p = tmp_path / "samples.npz"
+        np.savez(p, dirs=np.eye(3, dtype=np.float32),
+                 rgb=np.ones((3, 3), np.float32))
+        env = EnvMap(np.ones((8, 8, 3), np.float32), mapping="angular")
+        env.load_sis(str(p))
+        dirs, rgb = env.file_sis
+        np.testing.assert_allclose(dirs, np.eye(3))
