@@ -60,7 +60,10 @@ def _reference_occlusion(sc, P, b0, b1, b2, hit, key, ntheta, nphi, mt=False):
     return count
 
 
-@pytest.mark.parametrize("ntheta,nphi", [(4, 4), (8, 8)])
+@pytest.mark.parametrize(
+    "ntheta,nphi",
+    [(4, 4), pytest.param(8, 8, marks=pytest.mark.slow)],  # ~18 s
+)
 def test_megakernel_matches_unfused(ntheta, nphi):
     from lucille_tpu.accel.pallas_ao import pallas_ao_occlusion
     from lucille_tpu.transport.ao import ortho_basis

@@ -63,6 +63,7 @@ class TestPathTracer:
         # kd defaults to 1 (perfect white): radiance -> 1.0
         assert mean == pytest.approx(1.0, abs=0.08)
 
+    @pytest.mark.slow  # semantic zero check, deep unroll; ~12 s
     def test_black_without_lights_or_background(self):
         from lucille_tpu.lights.tables import LightTables
         from lucille_tpu.transport.pathtrace import path_radiance
@@ -72,6 +73,7 @@ class TestPathTracer:
         r, _ = path_radiance(scene, LightTables([]), org, dirn, jax.random.key(0))
         np.testing.assert_allclose(np.asarray(r), 0.0, atol=1e-6)
 
+    @pytest.mark.slow  # escape path also covered by furnace/background tests; ~11 s
     def test_escaped_rays_see_background(self):
         from lucille_tpu.lights.tables import LightTables
         from lucille_tpu.transport.pathtrace import path_radiance
@@ -88,6 +90,7 @@ class TestPathTracer:
             np.asarray(r), np.broadcast_to([0.25, 0.5, 0.75], (B, 3)), atol=1e-6
         )
 
+    @pytest.mark.slow  # area-light estimator also covered by sampling tests; ~19 s
     def test_area_light_illuminates(self):
         from lucille_tpu.transport.pathtrace import path_radiance
 
@@ -173,6 +176,7 @@ class TestWhitted:
         thresh = 0.05 * max(tight.max(), wide.max())
         assert (wide > thresh).sum() > 2 * (tight > thresh).sum()
 
+    @pytest.mark.slow  # mirror bounce also covered by the sl trace() tests; ~15 s
     def test_mirror_sees_plane(self):
         """A specular quad above a lit plane reflects the plane's color."""
         from lucille_tpu.transport.whitted import whitted_radiance
