@@ -1331,12 +1331,14 @@ def _stratum_tile_perm(ntheta: int, nphi: int, K: int) -> np.ndarray:
 def _cone_k() -> int:
     """Strata per cone-tiled block (LUCILLE_BVH_CONE_K).  256/K Morton-
     adjacent origins share a block with K cone-adjacent strata.
-    r4 sweep at 1M tris: K=32 -> 1.20, 16 -> 1.43, 8 -> 1.51 Mrays/s
-    (with the 16k-node tree, K=8 -> 1.62); K=8's narrower cones beat
-    K=16's tighter origin patches under the Frisvad-coherent basis."""
+    r4 sweep at 1M tris with the 16k-node tree: K=32/16/8/4/2/1 ->
+    1.20/1.43/1.62/1.69/1.32/1.00 Mrays/s — narrower cones win under
+    the Frisvad-coherent basis down to K=4, below which the 64-origin
+    patches blow the leaf unions back up.  (NODES=20480 at K=4 measured
+    the same 1.69 but sits near the SMEM compile cliff; 16384 stays.)"""
     import os
 
-    return int(os.environ.get("LUCILLE_BVH_CONE_K", 8))
+    return int(os.environ.get("LUCILLE_BVH_CONE_K", 4))
 
 
 @partial(jax.jit,
