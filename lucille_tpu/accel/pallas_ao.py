@@ -112,6 +112,12 @@ MAX_TRIS_FOR_MEGAKERNEL = 131072
 # than the skipped work (measured -20% on the 3-tile bench scene)
 _STRATUM_CULL_MIN_TILES = 8
 
+# strata per GROUP for the two-level cull (r4): one interval-slab test
+# over a group's direction bounds (~50 row ops + one sync) covers GS
+# per-stratum tests (~90 cy each) — consecutive strata are theta-adjacent
+# (theta varies fastest), so a group spans a narrow cone per lane
+_GROUP_STRATA = 4
+
 
 def _ao_kernel(
     nact_ref,
@@ -141,7 +147,13 @@ def _ao_kernel(
         bits_ref[:, :] = jnp.zeros((n_bit_rows, rb), jnp.int32)
     else:
         bits_ref = None
-    (wx_ref, wy_ref, wz_ref, flag_ref, ix_ref, iy_ref, iz_ref) = rest
+    (wx_ref, wy_ref, wz_ref, flag_ref, ix_ref, iy_ref, iz_ref,
+     gmin_ref, gmax_ref) = rest
+    GS = _GROUP_STRATA
+    ngroups = nsamples // GS if nsamples % GS == 0 else 0
+    # group culls pay off whenever there is more than one tile to skip
+    group_on = ngroups >= 2 and n_tri_tiles >= 2
+    strat_cull_on = n_tri_tiles >= _STRATUM_CULL_MIN_TILES
 
     # inactive blocks (compaction moved every live lane below nact) write
     # zeros and skip all compute; their DMA cost is negligible
@@ -190,17 +202,31 @@ def _ao_kernel(
             wx_ref[pl.ds(s, 1), :] = wx
             wy_ref[pl.ds(s, 1), :] = wy
             wz_ref[pl.ds(s, 1), :] = wz
-            if n_tri_tiles >= _STRATUM_CULL_MIN_TILES:
+            if strat_cull_on or group_on:
+                iwx = 1.0 / jnp.where(jnp.abs(wx) > 1e-20, wx, 1e-20)
+                iwy = 1.0 / jnp.where(jnp.abs(wy) > 1e-20, wy, 1e-20)
+                iwz = 1.0 / jnp.where(jnp.abs(wz) > 1e-20, wz, 1e-20)
+            if strat_cull_on:
                 # bounded reciprocals for the per-stratum slab cull
-                ix_ref[pl.ds(s, 1), :] = 1.0 / jnp.where(
-                    jnp.abs(wx) > 1e-20, wx, 1e-20
-                )
-                iy_ref[pl.ds(s, 1), :] = 1.0 / jnp.where(
-                    jnp.abs(wy) > 1e-20, wy, 1e-20
-                )
-                iz_ref[pl.ds(s, 1), :] = 1.0 / jnp.where(
-                    jnp.abs(wz) > 1e-20, wz, 1e-20
-                )
+                ix_ref[pl.ds(s, 1), :] = iwx
+                iy_ref[pl.ds(s, 1), :] = iwy
+                iz_ref[pl.ds(s, 1), :] = iwz
+            if group_on:
+                # per-group min/max reciprocal rows: products n * i are
+                # monotone in i, so [imin, imax] bounds give conservative
+                # entry/exit over every stratum in the group
+                g = s // GS
+                first = (s % GS) == 0
+                for ax, iw in ((0, iwx), (1, iwy), (2, iwz)):
+                    row = pl.ds(g * 3 + ax, 1)
+                    prev_lo = gmin_ref[row, :]
+                    prev_hi = gmax_ref[row, :]
+                    gmin_ref[row, :] = jnp.where(
+                        first, iw, jnp.minimum(prev_lo, iw)
+                    )
+                    gmax_ref[row, :] = jnp.where(
+                        first, iw, jnp.maximum(prev_hi, iw)
+                    )
             flag_ref[pl.ds(s, 1), :] = jnp.zeros((1, rb), jnp.float32)
             return 0
 
@@ -310,7 +336,7 @@ def _ao_kernel(
                 # on the 3-tile bench scene), so it only compiles in past
                 # _STRATUM_CULL_MIN_TILES.
                 prev = flag_ref[pl.ds(s, 1), :]
-                if n_tri_tiles < _STRATUM_CULL_MIN_TILES:
+                if not strat_cull_on:
                     _pair_work(s, prev)
                     return 0
                 ivx = ix_ref[pl.ds(s, 1), :]
@@ -338,7 +364,58 @@ def _ao_kernel(
 
                 return 0
 
-            jax.lax.fori_loop(0, nsamples, strat, 0)
+            if not group_on:
+                jax.lax.fori_loop(0, nsamples, strat, 0)
+                return 0
+
+            def group_body(g, _):
+                # two-level cull: one interval slab over the group's
+                # per-lane direction bounds covers GS per-stratum tests
+                BIG = 3.0e38
+                t_lo = jnp.full((1, rb), -BIG, jnp.float32)
+                t_hi = jnp.full((1, rb), BIG, jnp.float32)
+                for ax, orow, lo_s, hi_s in (
+                    (0, ox, bminx, bmaxx),
+                    (1, oy, bminy, bmaxy),
+                    (2, oz, bminz, bmaxz),
+                ):
+                    n1 = lo_s - orow
+                    n2 = hi_s - orow
+                    row = pl.ds(g * 3 + ax, 1)
+                    imn = gmin_ref[row, :]
+                    imx = gmax_ref[row, :]
+                    a = n1 * imn
+                    b = n1 * imx
+                    c = n2 * imn
+                    d = n2 * imx
+                    t_lo = jnp.maximum(
+                        t_lo,
+                        jnp.minimum(jnp.minimum(a, b), jnp.minimum(c, d)),
+                    )
+                    t_hi = jnp.minimum(
+                        t_hi,
+                        jnp.maximum(jnp.maximum(a, b), jnp.maximum(c, d)),
+                    )
+                # a group is dead once every stratum in it is occluded
+                unocc = flag_ref[pl.ds(g * GS, 1), :]
+                for k in range(1, GS):
+                    unocc = jnp.minimum(
+                        unocc, flag_ref[pl.ds(g * GS + k, 1), :]
+                    )
+                reach_g = (
+                    (t_lo <= t_hi)
+                    & (t_hi > 0.0)
+                    & (unocc < 0.5)
+                    & (hit_row_m > 0.5)
+                )
+
+                @pl.when(jnp.any(reach_g))
+                def _grp():
+                    jax.lax.fori_loop(g * GS, (g + 1) * GS, strat, 0)
+
+                return 0
+
+            jax.lax.fori_loop(0, ngroups, group_body, 0)
             return 0
 
         if n_super > 1:
@@ -596,8 +673,11 @@ def _pallas_ao_occlusion(
         tc=tc,
         want_bits=want_bits,
     )
-    # wx/wy/wz directions, flags, and reciprocal-direction rows
-    scratch_shapes = [pltpu.VMEM((nsamples, AO_RAY_BLOCK), jnp.float32)] * 7
+    # wx/wy/wz directions, flags, reciprocal rows, group min/max bounds
+    ngroups = nsamples // _GROUP_STRATA if nsamples % _GROUP_STRATA == 0 else 1
+    scratch_shapes = [pltpu.VMEM((nsamples, AO_RAY_BLOCK), jnp.float32)] * 7 + [
+        pltpu.VMEM((3 * max(ngroups, 1), AO_RAY_BLOCK), jnp.float32)
+    ] * 2
 
     n_bit_rows = -(-nsamples // 32)
     out_specs = [spec((1, AO_RAY_BLOCK), lambda i: (0, i))]
