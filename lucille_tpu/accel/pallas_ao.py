@@ -119,6 +119,12 @@ _STRATUM_CULL_MIN_TILES = 8
 _GROUP_STRATA = 4
 
 
+def _group_strata() -> int:
+    import os
+
+    return int(os.environ.get("LUCILLE_AO_GS", _GROUP_STRATA))
+
+
 def _ao_kernel(
     nact_ref,
     rays_ref,
@@ -149,7 +155,7 @@ def _ao_kernel(
         bits_ref = None
     (wx_ref, wy_ref, wz_ref, flag_ref, ix_ref, iy_ref, iz_ref,
      gmin_ref, gmax_ref) = rest
-    GS = _GROUP_STRATA
+    GS = _group_strata()
     ngroups = nsamples // GS if nsamples % GS == 0 else 0
     # group culls pay off whenever there is more than one tile to skip
     group_on = ngroups >= 2 and n_tri_tiles >= 2
@@ -674,7 +680,8 @@ def _pallas_ao_occlusion(
         want_bits=want_bits,
     )
     # wx/wy/wz directions, flags, reciprocal rows, group min/max bounds
-    ngroups = nsamples // _GROUP_STRATA if nsamples % _GROUP_STRATA == 0 else 1
+    _gs = _group_strata()
+    ngroups = nsamples // _gs if nsamples % _gs == 0 else 1
     scratch_shapes = [pltpu.VMEM((nsamples, AO_RAY_BLOCK), jnp.float32)] * 7 + [
         pltpu.VMEM((3 * max(ngroups, 1), AO_RAY_BLOCK), jnp.float32)
     ] * 2
