@@ -439,20 +439,29 @@ class Renderer:
                 for slot, ti in enumerate(group):
                     pending[ti] = (rnd, slot)
         elif (
-            os.environ.get("LUCILLE_FRAME_ACCUM") == "1"
+            (
+                os.environ.get("LUCILLE_FRAME_ACCUM", "auto") == "1"
+                or (
+                    os.environ.get("LUCILLE_FRAME_ACCUM", "auto") == "auto"
+                    and opt.render_method == "whitted"
+                )
+            )
+            and os.environ.get("LUCILLE_FRAME_ACCUM") != "0"
             and tile_cb is None
             and progress_cb is None
             and checkpoint is None
             and not cropped
             and len(tiles) > 1
         ):
-            # ---- device-side frame accumulation (opt-in) ----------------
+            # ---- device-side frame accumulation -------------------------
             # Assemble the frame in a DEVICE buffer and pull it ONCE.
-            # MEASURED SLOWER on this tunnel (108 vs 128 Mrays/s, AO
-            # bench): the single bulk image pull serializes at the end,
-            # while the default path's per-tile pulls overlap device
-            # compute.  Kept opt-in (LUCILLE_FRAME_ACCUM=1) for links
-            # where per-transfer latency dominates bandwidth.
+            # MEASURED per workload class on this tunnel: SLOWER for
+            # device-bound frames (AO bench 128 -> 108 Mrays/s — the
+            # single bulk pull serializes where per-tile pulls overlap
+            # compute) but FASTER for host-transfer-bound ones (whitted
+            # 427 -> 375 ms: device work ~10 ms of a 75 ms tile).  Auto
+            # policy: on for whitted, off elsewhere;
+            # LUCILLE_FRAME_ACCUM=1/0 forces.
             dev_img = jnp.zeros((H, W, 3), jnp.float32)
             dev_alpha = jnp.zeros((H, W), jnp.float32)
             dev_counters = jnp.zeros((4,), jnp.float32)
