@@ -140,6 +140,7 @@ def _ao_kernel(
     nphi,
     tc=TC_OCC,
     want_bits=False,
+    tposed=False,
 ):
     nsamples = ntheta * nphi
     rb = rays_ref.shape[1]
@@ -279,18 +280,28 @@ def _ao_kernel(
             bmaxz = boxes_ref[5, ti]
             # (1, TC) row slices -> (TC, 1) columns, 12 transposes per
             # tile (vs 3 per stratum per tile ray-major)
-            v0x = tris_ref[0, pl.ds(base, tc)][:, None]
-            v0y = tris_ref[1, pl.ds(base, tc)][:, None]
-            v0z = tris_ref[2, pl.ds(base, tc)][:, None]
-            v1x = tris_ref[3, pl.ds(base, tc)][:, None]
-            v1y = tris_ref[4, pl.ds(base, tc)][:, None]
-            v1z = tris_ref[5, pl.ds(base, tc)][:, None]
-            v2x = tris_ref[6, pl.ds(base, tc)][:, None]
-            v2y = tris_ref[7, pl.ds(base, tc)][:, None]
-            v2z = tris_ref[8, pl.ds(base, tc)][:, None]
-            nx = tris_ref[9, pl.ds(base, tc)][:, None]
-            ny = tris_ref[10, pl.ds(base, tc)][:, None]
-            nz = tris_ref[11, pl.ds(base, tc)][:, None]
+            if tposed:
+                # sublane-major (npad, 16) pack: required for tc < 128
+                # (lane slices must be 128-aligned); the slower width-1
+                # lane loads amortize over the 64-strata pair loop here,
+                # unlike the closest-hit kernel where they were rejected
+                def col(r):
+                    return tris_ref[pl.ds(base, tc), r : r + 1]
+            else:
+                def col(r):
+                    return tris_ref[r, pl.ds(base, tc)][:, None]
+            v0x = col(0)
+            v0y = col(1)
+            v0z = col(2)
+            v1x = col(3)
+            v1y = col(4)
+            v1z = col(5)
+            v2x = col(6)
+            v2y = col(7)
+            v2z = col(8)
+            nx = col(9)
+            ny = col(10)
+            nz = col(11)
 
             # origin-only terms, once per (triangle, ray): vertex offsets,
             # their pairwise cross products, and the plane distance sign
@@ -553,6 +564,22 @@ def partition_order(hit):
     return order, nhit
 
 
+def _pack_occ_t(scene, tc: int):
+    """(npad, 16) sublane-major occlusion pack (cols [v0|v1|v2|n]) —
+    the layout that legalizes sub-128 tile heights."""
+    n = scene.tri_v0.shape[0]
+    npad = -(-n // tc) * tc
+    v1 = scene.tri_v0 + scene.tri_e1
+    v2 = scene.tri_v0 + scene.tri_e2
+    nrm = jnp.cross(scene.tri_e1, scene.tri_e2)
+    tris = jnp.zeros((npad, 16), jnp.float32)
+    tris = tris.at[:n, 0:3].set(scene.tri_v0)
+    tris = tris.at[:n, 3:6].set(v1)
+    tris = tris.at[:n, 6:9].set(v2)
+    tris = tris.at[:n, 9:12].set(nrm)
+    return tris, npad
+
+
 def _pack_occ(scene, tc: int = TC_OCC):
     """Scene SoA -> (16, Npad) f32 occlusion matrix, rows [v0|v1|v2|n].
 
@@ -625,7 +652,10 @@ def _pallas_ao_occlusion(
     B = P_off.shape[0]
     Bpad = -(-B // AO_RAY_BLOCK) * AO_RAY_BLOCK
     nsamples = ntheta * nphi
-    tris, npad = _pack_occ(scene, tc)
+    tposed = tc < TC_OCC  # sub-128 tiles need the sublane-major pack
+    tris, npad = (
+        _pack_occ_t(scene, tc) if tposed else _pack_occ(scene, tc)
+    )
     n_tri_tiles = npad // tc
 
     # ---- hit compaction: stable-partition live lanes to the front.
@@ -678,6 +708,7 @@ def _pallas_ao_occlusion(
         nphi=nphi,
         tc=tc,
         want_bits=want_bits,
+        tposed=tposed,
     )
     # wx/wy/wz directions, flags, reciprocal rows, group min/max bounds
     _gs = _group_strata()
@@ -704,7 +735,7 @@ def _pallas_ao_occlusion(
             spec((8, AO_RAY_BLOCK), lambda i: (0, i)),
             pl.BlockSpec(memory_space=pltpu.SMEM),
             pl.BlockSpec(memory_space=pltpu.SMEM),
-            spec((16, npad), lambda i: (0, 0)),
+            spec((npad, 16) if tposed else (16, npad), lambda i: (0, 0)),
         ],
         out_specs=out_specs if want_bits else out_specs[0],
         out_shape=out_shape if want_bits else out_shape[0],
