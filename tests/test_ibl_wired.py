@@ -90,6 +90,8 @@ class TestEnvMapFetch:
 
 
 class TestIBLLighting:
+    @pytest.mark.slow  # irradiance-level check covered by the sampler
+    # matrix + background tests; ~9 s
     def test_domelight_renders_map_colors(self, tmp_path):
         """A textured IBL light illuminates an upward-facing plane with
         the UPPER hemisphere's color (red), not the flat light color."""
