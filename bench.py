@@ -63,15 +63,18 @@ def _measure(rib, width, height, tile, method=None, inject=None):
     renderer.stats.render_seconds = 0.0
     # best of two timed frames: the tunneled link's throughput swings
     # (docs/performance.md "Measurement discipline"), and one slow
-    # transfer shouldn't define the round record
+    # transfer shouldn't define the round record.  Both samples are
+    # returned so BENCH_r*.json records the statistic (N and raw
+    # samples), keeping rounds comparable (VERDICT r4 weak 6).
+    samples = []
     t0 = time.perf_counter()
     renderer.render_frame()
-    dt = time.perf_counter() - t0
+    samples.append(time.perf_counter() - t0)
     nrays = renderer.stats.nrays
     t0 = time.perf_counter()
     renderer.render_frame()
-    dt = min(dt, time.perf_counter() - t0)
-    return nrays, dt
+    samples.append(time.perf_counter() - t0)
+    return nrays, min(samples), samples
 
 
 def main() -> int:
@@ -82,19 +85,20 @@ def main() -> int:
     width, height = 640, 480
     tile = int(os.environ.get("BENCH_TILE", "240"))
 
-    rays, dt = _measure(RIB, width, height, tile)
+    rays, dt, frame_samples = _measure(RIB, width, height, tile)
     rays_per_sec = rays / dt
 
     # the BASELINE.json north-star scene (plane_sphere GI)
     ps = {}
     try:
-        rays_ps, dt_ps = _measure(RIB_PS, 512, 512, 256)
+        rays_ps, dt_ps, ps_samples = _measure(RIB_PS, 512, 512, 256)
         ps = {
             "plane_sphere_rays_per_sec": rays_ps / dt_ps,
             "plane_sphere_vs_baseline": rays_ps
             / dt_ps
             / REFERENCE_CPU_PLANE_SPHERE,
             "plane_sphere_seconds": dt_ps,
+            "plane_sphere_frame_samples": ps_samples,
         }
     except (OSError, ValueError):  # reference tree absent
         pass
@@ -107,9 +111,12 @@ def main() -> int:
     # Compare *_seconds across rounds, not Mrays/s, for those two.
     for method in ("whitted", "pathtrace"):
         try:
-            rays_m, dt_m = _measure(RIB, width, height, tile, method=method)
+            rays_m, dt_m, m_samples = _measure(
+                RIB, width, height, tile, method=method
+            )
             ps[f"{method}_rays_per_sec"] = rays_m / dt_m
             ps[f"{method}_seconds"] = dt_m
+            ps[f"{method}_frame_samples"] = m_samples
         except (OSError, ValueError) as e:
             ps[f"{method}_error"] = str(e)
 
@@ -118,13 +125,14 @@ def main() -> int:
     # throughput stays within ~2x of plain AO instead of the ~5x-slower
     # wavefront scan it used to fall back to
     try:
-        rays_sk, dt_sk = _measure(
+        rays_sk, dt_sk, sk_samples = _measure(
             RIB, width, height, tile,
             inject='AreaLightSource "sunsky" 1 "hour" [10.0] '
                    '"turbidity" [2.2]\n',
         )
         ps["sunsky_ao_rays_per_sec"] = rays_sk / dt_sk
         ps["sunsky_ao_seconds"] = dt_sk
+        ps["sunsky_ao_frame_samples"] = sk_samples
     except Exception as e:  # noqa: BLE001
         ps["sunsky_ao_error"] = f"{type(e).__name__}: {e}"
 
@@ -137,8 +145,24 @@ def main() -> int:
         ps["heightfield_130k_rays_per_sec"] = lg["value"]
         # vs CPU-lucille, same workload, 2 threads (bench_large_driver.c)
         ps["heightfield_130k_vs_baseline"] = lg["vs_baseline"]
+        ps["heightfield_130k_frame_samples"] = lg["frame_samples"]
     except Exception as e:  # noqa: BLE001 - bench must still print its line
         ps["heightfield_error"] = f"{type(e).__name__}: {e}"
+
+    # the contested size class: 1,045,458 triangles (n=724), the scene
+    # where CPU-lucille held 1.98 M rays/s through round 4.  The number
+    # must live in the driver-captured record, not just docs
+    # (VERDICT r4 weak 2 / next-step 1).
+    try:
+        from bench_large import measure as measure_large_1m
+
+        lg1m = measure_large_1m(724)
+        ps["heightfield_1m_rays_per_sec"] = lg1m["value"]
+        ps["heightfield_1m_vs_baseline"] = lg1m["vs_baseline"]
+        ps["heightfield_1m_seconds"] = lg1m["seconds"]
+        ps["heightfield_1m_frame_samples"] = lg1m["frame_samples"]
+    except Exception as e:  # noqa: BLE001 - bench must still print its line
+        ps["heightfield_1m_error"] = f"{type(e).__name__}: {e}"
 
     print(
         json.dumps(
@@ -154,6 +178,8 @@ def main() -> int:
                     "gather_rays": 64,
                     "rays": rays,
                     "seconds": dt,
+                    "frames_timed": 2,
+                    "frame_samples": frame_samples,
                     "backend": jax.devices()[0].platform,
                     "device": str(jax.devices()[0]),
                     **ps,

@@ -89,11 +89,17 @@ def measure(n: int, tile: int = 128):
     r.render_frame()  # warmup: compile + device claim
     r.stats.nrays = 0
     r.stats.render_seconds = 0.0
-    t0 = time.perf_counter()
-    r.render_frame()
-    dt = time.perf_counter() - t0
+    # best of two timed frames, both samples recorded (the tunneled
+    # link's throughput swings; docs/performance.md "Measurement
+    # discipline") — same statistic as bench.py since r4
+    samples = []
+    for _ in range(2):
+        t0 = time.perf_counter()
+        r.render_frame()
+        samples.append(time.perf_counter() - t0)
+    dt = min(samples)
     ntris = 2 * (n - 1) * (n - 1)
-    rays_per_sec = r.stats.nrays / dt
+    rays_per_sec = r.stats.nrays / 2 / dt
     base = CPU_BASELINE.get(n)
     return {
         "metric": "large_scene_rays_per_sec",
@@ -102,6 +108,7 @@ def measure(n: int, tile: int = 128):
         "value": rays_per_sec,
         "unit": "rays/s",
         "seconds": dt,
+        "frame_samples": samples,
         "build_seconds": build_s,
         "accel": r.scene.accel,
         "ntrav": r.stats.ntraversals,

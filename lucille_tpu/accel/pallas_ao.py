@@ -78,18 +78,12 @@ from lucille_tpu.accel.bruteforce import DET_EPS
 from lucille_tpu.accel.pallas_isect import SUPER as _SUPER
 
 # triangle tile height in the occlusion loop (sublane dimension); the
-# padded count wastes at most TC_OCC-1 triangles.  Finer tiles give the
-# per-(tile, stratum) slab cull tighter boxes (Morton-sorted triangles
-# make 32-tri boxes much smaller than 128-tri ones) at the price of 4x
-# the per-tile fixed cost — LUCILLE_AO_TC selects; see docs/performance.md
-# for the measured sweep.
+# padded count wastes at most TC_OCC-1 triangles.  Sub-128 tiles
+# (sublane-major packs) were MEASURED and REJECTED in round 4 — 2-4x
+# the per-tile fixed cost outweighs the tighter cull boxes
+# (docs/performance.md has the sweep: TC=64/32 -> 69.8/49.4 on
+# plane_sphere vs 79.5 at 128).
 TC_OCC = 128
-
-
-def _tc_occ() -> int:
-    import os
-
-    return int(os.environ.get("LUCILLE_AO_TC", TC_OCC))
 
 # rays per grid step — larger than the closest-hit kernel's block so the
 # fixed per-step cost (DMA issue, grid bookkeeping) amortizes; the
@@ -140,7 +134,7 @@ def _ao_kernel(
     nphi,
     tc=TC_OCC,
     want_bits=False,
-    tposed=False,
+    gs=None,
 ):
     nsamples = ntheta * nphi
     rb = rays_ref.shape[1]
@@ -156,7 +150,7 @@ def _ao_kernel(
         bits_ref = None
     (wx_ref, wy_ref, wz_ref, flag_ref, ix_ref, iy_ref, iz_ref,
      gmin_ref, gmax_ref) = rest
-    GS = _group_strata()
+    GS = gs if gs is not None else _group_strata()
     ngroups = nsamples // GS if nsamples % GS == 0 else 0
     # group culls pay off whenever there is more than one tile to skip
     group_on = ngroups >= 2 and n_tri_tiles >= 2
@@ -280,16 +274,8 @@ def _ao_kernel(
             bmaxz = boxes_ref[5, ti]
             # (1, TC) row slices -> (TC, 1) columns, 12 transposes per
             # tile (vs 3 per stratum per tile ray-major)
-            if tposed:
-                # sublane-major (npad, 16) pack: required for tc < 128
-                # (lane slices must be 128-aligned); the slower width-1
-                # lane loads amortize over the 64-strata pair loop here,
-                # unlike the closest-hit kernel where they were rejected
-                def col(r):
-                    return tris_ref[pl.ds(base, tc), r : r + 1]
-            else:
-                def col(r):
-                    return tris_ref[r, pl.ds(base, tc)][:, None]
+            def col(r):
+                return tris_ref[r, pl.ds(base, tc)][:, None]
             v0x = col(0)
             v0y = col(1)
             v0z = col(2)
@@ -564,22 +550,6 @@ def partition_order(hit):
     return order, nhit
 
 
-def _pack_occ_t(scene, tc: int):
-    """(npad, 16) sublane-major occlusion pack (cols [v0|v1|v2|n]) —
-    the layout that legalizes sub-128 tile heights."""
-    n = scene.tri_v0.shape[0]
-    npad = -(-n // tc) * tc
-    v1 = scene.tri_v0 + scene.tri_e1
-    v2 = scene.tri_v0 + scene.tri_e2
-    nrm = jnp.cross(scene.tri_e1, scene.tri_e2)
-    tris = jnp.zeros((npad, 16), jnp.float32)
-    tris = tris.at[:n, 0:3].set(scene.tri_v0)
-    tris = tris.at[:n, 3:6].set(v1)
-    tris = tris.at[:n, 6:9].set(v2)
-    tris = tris.at[:n, 9:12].set(nrm)
-    return tris, npad
-
-
 def _pack_occ(scene, tc: int = TC_OCC):
     """Scene SoA -> (16, Npad) f32 occlusion matrix, rows [v0|v1|v2|n].
 
@@ -621,7 +591,7 @@ def pallas_ao_occlusion(
         interpret = jax.default_backend() == "cpu"
     occ, _bits, _u = _pallas_ao_occlusion(
         scene, P_off, b0, b1, b2, hit, key, ntheta, nphi, interpret,
-        _tc_occ(), False,
+        TC_OCC, False, _group_strata(),
     )
     return occ
 
@@ -639,23 +609,25 @@ def pallas_ao_occlusion_bits(
         interpret = jax.default_backend() == "cpu"
     return _pallas_ao_occlusion(
         scene, P_off, b0, b1, b2, hit, key, ntheta, nphi, interpret,
-        _tc_occ(), True,
+        TC_OCC, True, _group_strata(),
     )
 
 
 @partial(jax.jit,
-         static_argnames=("ntheta", "nphi", "interpret", "tc", "want_bits"))
+         static_argnames=("ntheta", "nphi", "interpret", "tc", "want_bits",
+                          "gs"))
 def _pallas_ao_occlusion(
     scene, P_off, b0, b1, b2, hit, key, ntheta, nphi, interpret, tc=TC_OCC,
-    want_bits=False,
+    want_bits=False, gs=None,
 ):
+    # gs rides the jit cache key: LUCILLE_AO_GS changed mid-process must
+    # recompile, not silently reuse the old group size (ADVICE r4)
+    if gs is None:
+        gs = _group_strata()
     B = P_off.shape[0]
     Bpad = -(-B // AO_RAY_BLOCK) * AO_RAY_BLOCK
     nsamples = ntheta * nphi
-    tposed = tc < TC_OCC  # sub-128 tiles need the sublane-major pack
-    tris, npad = (
-        _pack_occ_t(scene, tc) if tposed else _pack_occ(scene, tc)
-    )
+    tris, npad = _pack_occ(scene, tc)
     n_tri_tiles = npad // tc
 
     # ---- hit compaction: stable-partition live lanes to the front.
@@ -708,10 +680,10 @@ def _pallas_ao_occlusion(
         nphi=nphi,
         tc=tc,
         want_bits=want_bits,
-        tposed=tposed,
+        gs=gs,
     )
     # wx/wy/wz directions, flags, reciprocal rows, group min/max bounds
-    _gs = _group_strata()
+    _gs = gs
     ngroups = nsamples // _gs if nsamples % _gs == 0 else 1
     scratch_shapes = [pltpu.VMEM((nsamples, AO_RAY_BLOCK), jnp.float32)] * 7 + [
         pltpu.VMEM((3 * max(ngroups, 1), AO_RAY_BLOCK), jnp.float32)
@@ -735,7 +707,7 @@ def _pallas_ao_occlusion(
             spec((8, AO_RAY_BLOCK), lambda i: (0, i)),
             pl.BlockSpec(memory_space=pltpu.SMEM),
             pl.BlockSpec(memory_space=pltpu.SMEM),
-            spec((npad, 16) if tposed else (16, npad), lambda i: (0, 0)),
+            spec((16, npad), lambda i: (0, 0)),
         ],
         out_specs=out_specs if want_bits else out_specs[0],
         out_shape=out_shape if want_bits else out_shape[0],

@@ -198,23 +198,8 @@ def _cache_init(tag_ref):
         jax.lax.fori_loop(0, CACHE_SLOTS, clr, 0)
 
 
-def _tile_cull_on() -> bool:
-    """Per-tile bbox culling inside leaves (LUCILLE_BVH_TILE_CULL=1).
-
-    Leaves hold 2+ tiles when the node budget forces big leaves (a 1M-tri
-    scene lands at 512-tri = 4-tile leaves); a per-tile slab test can
-    skip the (TC, RB) MT — and, on the HBM path, the tile's DMA — when
-    no live lane reaches the tile's bbox.  Costs one vector->scalar sync
-    (~175 cy) against an MT tile test (~310 cy) + possible DMA, so it
-    pays only when the per-leaf live-tile fraction is low; OFF by
-    default until measured per scene class (docs/performance.md)."""
-    import os
-
-    return os.environ.get("LUCILLE_BVH_TILE_CULL", "0") == "1"
-
-
 def _foreach_leaf_tile(tris_ref, cache, sem, tag_ref, pend_ref, cnt_ref,
-                       first, ltiles, mt_on, *, hbm, cull=None):
+                       first, ltiles, mt_on, *, hbm):
     """Run mt_on(cols, base) for every 128-triangle tile of a leaf.
 
     VMEM-resident scenes read tiles straight out of tris_ref.  HBM scenes
@@ -236,14 +221,7 @@ def _foreach_leaf_tile(tris_ref, cache, sem, tag_ref, pend_ref, cnt_ref,
         def body(k, _):
             tile = first + k
             base = tile * TC
-            if cull is None:
-                mt_on(_load_tile_cols(tris_ref, base, rows), base)
-            else:
-
-                @pl.when(cull(tile))
-                def _():
-                    mt_on(_load_tile_cols(tris_ref, base, rows), base)
-
+            mt_on(_load_tile_cols(tris_ref, base, rows), base)
             return 0
 
         jax.lax.fori_loop(0, ltiles, body, 0)
@@ -258,14 +236,9 @@ def _foreach_leaf_tile(tris_ref, cache, sem, tag_ref, pend_ref, cnt_ref,
 
     def issue(k, _):
         tile = first + k
-        # culled tiles skip BOTH the DMA and the MT (pend = 2): the
-        # per-tile bbox test saves HBM bandwidth, not just VPU work
-        live = jnp.bool_(True) if cull is None else cull(tile)
         slot = jax.lax.rem(tile, jnp.int32(CACHE_SLOTS))
-        miss = live & (tag_ref[slot] != tile + 1)  # 0 = empty (_cache_init)
-        pend_ref[k] = jnp.where(
-            live, miss.astype(jnp.int32), jnp.int32(2)
-        )
+        miss = tag_ref[slot] != tile + 1  # 0 = empty (_cache_init)
+        pend_ref[k] = miss.astype(jnp.int32)
 
         @pl.when(miss)
         def _():
@@ -286,14 +259,11 @@ def _foreach_leaf_tile(tris_ref, cache, sem, tag_ref, pend_ref, cnt_ref,
         def _():
             tile_dma(k, tile, slot).wait()
 
-        @pl.when(pend_ref[k] != 2)
-        def _mt():
-            cols = [
-                cache[pl.ds(row0 + r, 1), :].reshape(TC)[:, None]
-                for r in rows
-            ]
-            mt_on(cols, tile * TC)
-
+        cols = [
+            cache[pl.ds(row0 + r, 1), :].reshape(TC)[:, None]
+            for r in rows
+        ]
+        mt_on(cols, tile * TC)
         return 0
 
     jax.lax.fori_loop(0, ltiles, body, 0)
@@ -568,22 +538,27 @@ def _pallas_bvh_closest_hit(scene, org, dirn, tmax=None, interpret=False,
 
 
 def _bvh_anyhit_kernel(
-    rays_ref, nbox_ref, nmeta_ref, tbox_ref, tris_ref, occ_ref, stat_ref,
-    stack_ref, *scratch, n_nodes, hbm=False, tcull=False,
+    rays_ref, nbox_ref, nmeta_ref, tris_ref, occ_ref, stat_ref,
+    stack_ref, ctrl_ref, *scratch, n_nodes, hbm=False,
 ):
-    """Any-hit occlusion with ORDERED near-to-far stack traversal.
+    """Any-hit occlusion: ordered CHILD-PAIR stack traversal.
 
-    Unlike the stackless skip walk, descent prefers the child nearer
-    along the block's mean ray direction (bvh_traverse's sign-ordered
-    descent, bvh.c:1093-1190), so lanes occlude on nearby leaves first
-    and drop out of the reach union early.  MEASURED on the 1M-tri
-    heightfield cone-tiled gather: 1.27 -> 1.36 Mrays/s over DFS order
-    (the scene is escape-dominated, so unoccluded lanes still sweep the
-    frustum; occlusion-dominated scenes benefit more).  A child-pair
-    variant (test both children per iteration, enter only reached
-    nodes) was built and MEASURED ~10x SLOWER under Mosaic — the extra
-    per-iteration vector->scalar syncs dominate; do not resurrect it
-    without profiling.
+    Descent prefers the child nearer along the block's mean ray
+    direction (bvh_traverse's sign-ordered descent, bvh.c:1093-1190).
+    Each iteration ENTERS one already-reached node: leaves run their
+    tile tests with NO vector->scalar sync at all; inner nodes slab-test
+    BOTH children and decide near/far/push with ONE packed sync —
+    sum(reach_near * 4096 + reach_far) gives both "any lane reaches"
+    bits in a single vector->scalar reduction (lane counts <= 256 <
+    4096, and the packed sum <= 256*4097 is exact in f32).  Children
+    that fail the test are never visited, so the per-visit sync tax the
+    r5 profile measured (~390 cy/visit, ~70% of the 1M-tri frame;
+    docs/performance.md) is paid once per ENTERED INNER node instead of
+    once per touched node.  An r4 child-pair variant with one sync PER
+    CHILD measured ~10x slower — the packing is the difference.
+    Trade: a far child pushed before its sibling's subtree completed is
+    entered without re-testing against the (monotone) occlusion state —
+    correct, marginally more tile work on occlusion-heavy scenes.
     """
     cache, sem, tag, pend, cnt = scratch if hbm else (None,) * 5
     if hbm:
@@ -603,43 +578,42 @@ def _bvh_anyhit_kernel(
     occ_ref[:, :] = jnp.zeros(occ_ref.shape, jnp.float32)
 
     def mt_on(cols, base):
+        # Division-free any-hit: the megakernel's signed-volume test
+        # (pallas_ao.py) recast on the (v0, e1, e2) pack.  The raw MT
+        # triple products u' = s.p, v' = q.d, t' = e2.q satisfy
+        # u' + v' + w' = a (the determinant), so "inside" is just a
+        # same-sign test and the t/a range checks become products:
+        # t'a > 0 and t'a < tmax a^2 (multiplying t'/a < tmax by a^2 > 0
+        # preserves the inequality).  No reciprocal, no per-coordinate
+        # compares — an occlusion query (bvh.c:731-791 semantics) never
+        # needs the actual (u, v, t).
         (v0x, v0y, v0z, e1x, e1y, e1z, e2x, e2y, e2z) = cols
         px = dy * e2z - dz * e2y
         py = dz * e2x - dx * e2z
         pz = dx * e2y - dy * e2x
         a = e1x * px + e1y * py + e1z * pz
-        valid = jnp.abs(a) > DET_EPS
-        inva = jnp.where(valid, 1.0 / jnp.where(valid, a, 1.0), 0.0)
         sx = ox - v0x
         sy = oy - v0y
         sz = oz - v0z
         qx = sy * e1z - sz * e1y
         qy = sz * e1x - sx * e1z
         qz = sx * e1y - sy * e1x
-        u = (sx * px + sy * py + sz * pz) * inva
-        v = (qx * dx + qy * dy + qz * dz) * inva
-        t = (e2x * qx + e2y * qy + e2z * qz) * inva
+        u = sx * px + sy * py + sz * pz
+        v = qx * dx + qy * dy + qz * dz
+        w = a - u - v
+        t = e2x * qx + e2y * qy + e2z * qz
+        inside = (jnp.minimum(jnp.minimum(u, v), w) >= 0.0) | (
+            jnp.maximum(jnp.maximum(u, v), w) <= 0.0
+        )
+        ta = t * a
         hit = (
-            valid
-            & (u >= 0.0)
-            & (u <= 1.0)
-            & (v >= 0.0)
-            & (u + v <= 1.0)
-            & (t > 0.0)
-            & (t < tmax)
+            inside
+            & (ta > 0.0)
+            & (ta < tmax * (a * a))
+            & (jnp.abs(a) > DET_EPS)
         )
         any1 = jnp.any(hit, axis=0, keepdims=True)
         occ_ref[:, :] = jnp.maximum(occ_ref[0:1, :], any1.astype(jnp.float32))
-
-    def tile_cull(tile):
-        # per-tile slab test inside multi-tile leaves (_tile_cull_on):
-        # unoccluded live lanes must reach the TILE box, not just the leaf
-        tn, tf = _slab(tile, tbox_ref, ox, oy, oz, ivx, ivy, ivz)
-        return jnp.any(
-            (tn <= tf) & (tf > 0.0) & (tn < tmax) & (occ_ref[0:1, :] < 0.5)
-        )
-
-    cull = tile_cull if tcull else None
 
     # block mean-direction signs decide near-vs-far child per split axis
     sgx = (jnp.sum(dx) >= 0.0).astype(jnp.int32)
@@ -652,45 +626,64 @@ def _bvh_anyhit_kernel(
         return c[0] < n_nodes
 
     def tbody(c):
-        node, sp, nvis, ntile = c
-        tn, tf = _slab(node, nbox_ref, ox, oy, oz, ivx, ivy, ivz)
-        reach = (
-            (tn <= tf) & (tf > 0.0) & (tn < tmax) & (occ_ref[0:1, :] < 0.5)
-        )
-        live = jnp.any(reach)
-        ltiles = nmeta_ref[2, node]
+        # invariant: `cur` was reached by some live lane when its parent
+        # tested it (the root is entered unconditionally)
+        cur, sp, nvis, ntile = c
+        ltiles = nmeta_ref[2, cur]
         leaf = ltiles > 0
 
-        @pl.when(live & leaf)
+        @pl.when(leaf)
         def _leaf():
             _foreach_leaf_tile(
-                tris_ref, cache, sem, tag, pend, cnt, nmeta_ref[1, node],
-                ltiles, mt_on, hbm=hbm, cull=cull,
+                tris_ref, cache, sem, tag, pend, cnt, nmeta_ref[1, cur],
+                ltiles, mt_on, hbm=hbm,
             )
 
-        descend = live & jnp.logical_not(leaf)
-        c1 = nmeta_ref[3, node]
-        axis = nmeta_ref[4, node]
-        # DFS child0 = node+1 sits on the LOW side of the split axis, so
-        # it is the near child when the mean direction is positive
-        pos = jnp.where(axis == 0, sgx, jnp.where(axis == 1, sgy, sgz))
-        near = jnp.where(pos == 1, node + 1, c1)
-        far = jnp.where(pos == 1, c1, node + 1)
+        @pl.when(jnp.logical_not(leaf))
+        def _inner():
+            c0 = cur + 1
+            c1 = nmeta_ref[3, cur]
+            tn0, tf0 = _slab(c0, nbox_ref, ox, oy, oz, ivx, ivy, ivz)
+            tn1, tf1 = _slab(c1, nbox_ref, ox, oy, oz, ivx, ivy, ivz)
+            alive = occ_ref[0:1, :] < 0.5
+            r0 = (tn0 <= tf0) & (tf0 > 0.0) & (tn0 < tmax) & alive
+            r1 = (tn1 <= tf1) & (tf1 > 0.0) & (tn1 < tmax) & alive
+            # ONE packed vector->scalar sync for both children
+            s = jnp.sum(
+                r0.astype(jnp.float32) * 4096.0 + r1.astype(jnp.float32)
+            ).astype(jnp.int32)
+            a0 = s >= 4096
+            a1 = (s & 4095) > 0
+            axis = nmeta_ref[4, cur]
+            # DFS child0 = cur+1 sits on the LOW side of the split axis,
+            # so it is the near child when the mean direction is positive
+            pos = jnp.where(axis == 0, sgx, jnp.where(axis == 1, sgy, sgz))
+            near_is_c0 = pos == 1
+            a_near = jnp.where(near_is_c0, a0, a1)
+            a_far = jnp.where(near_is_c0, a1, a0)
+            near = jnp.where(near_is_c0, c0, c1)
+            far = jnp.where(near_is_c0, c1, c0)
+            both = a_near & a_far
 
-        @pl.when(descend)
-        def _push():
-            stack_ref[sp] = far
+            @pl.when(both)
+            def _push():
+                stack_ref[sp] = far
 
-        pop = jnp.logical_not(descend)
-        sp_next = jnp.where(descend, sp + 1, jnp.maximum(sp - 1, 0))
-        nxt = jnp.where(
-            descend,
-            near,
-            jnp.where(pop & (sp > 0), stack_ref[jnp.maximum(sp - 1, 0)],
-                      DONE),
+            ctrl_ref[0] = jnp.where(
+                a_near, near, jnp.where(a_far, far, jnp.int32(-1))
+            )
+            ctrl_ref[1] = both.astype(jnp.int32)
+
+        nxt_inner = ctrl_ref[0]
+        sp2 = sp + jnp.where(leaf, 0, ctrl_ref[1])
+        want_pop = leaf | (nxt_inner < 0)
+        popped = jnp.where(
+            sp2 > 0, stack_ref[jnp.maximum(sp2 - 1, 0)], DONE
         )
-        return (nxt, sp_next, nvis + 1,
-                ntile + jnp.where(live & leaf, ltiles, 0))
+        nxt = jnp.where(want_pop, popped, nxt_inner)
+        sp3 = jnp.where(want_pop, jnp.maximum(sp2 - 1, 0), sp2)
+        return (nxt, sp3, nvis + 1,
+                ntile + jnp.where(leaf, ltiles, 0))
 
     _, _, nvis, ntile = jax.lax.while_loop(
         tcond, tbody,
@@ -708,29 +701,17 @@ def pallas_bvh_any_hit(scene, org, dirn, tmax=None,
         interpret = jax.default_backend() == "cpu"
     if hbm is None:
         hbm = _use_hbm(_scene_npad(scene))
-    occ, _stats = _pallas_bvh_any_hit(scene, org, dirn, tmax, interpret, hbm,
-                                      _tile_cull_on())
+    occ, _stats = _pallas_bvh_any_hit(scene, org, dirn, tmax, interpret, hbm)
     return occ
 
 
-def _tile_boxes(scene, npad, tcull: bool):
-    """(6, n_tiles) tile bboxes for in-leaf culling, or a (6, 1) dummy
-    when the cull is compiled out (keeps the SMEM footprint zero-cost)."""
-    if not tcull:
-        return jnp.zeros((6, 1), jnp.float32)
-    from lucille_tpu.accel.pallas_isect import _pack_boxes
-
-    return _pack_boxes(scene, npad)[0:6]
-
-
-@partial(jax.jit, static_argnames=("interpret", "hbm", "tcull"))
+@partial(jax.jit, static_argnames=("interpret", "hbm"))
 def _pallas_bvh_any_hit(scene, org, dirn, tmax=None, interpret=False,
-                        hbm=False, tcull=False):
+                        hbm=False):
     from lucille_tpu.accel.pallas_isect import _pack
 
     tris, npad = _pack(scene)
     nbox, nmeta = _node_arrays(scene)
-    tbox = _tile_boxes(scene, npad, tcull)
     rays, B_real, B = _pad_rays(org, dirn, tmax)
 
     def spec(shape, index_map):
@@ -738,12 +719,10 @@ def _pallas_bvh_any_hit(scene, org, dirn, tmax=None, interpret=False,
 
     smem = pl.BlockSpec(memory_space=pltpu.SMEM)
     occ, stat = pl.pallas_call(
-        partial(_bvh_anyhit_kernel, n_nodes=scene.n_nodes, hbm=hbm,
-                tcull=tcull),
+        partial(_bvh_anyhit_kernel, n_nodes=scene.n_nodes, hbm=hbm),
         grid=(B // RAY_BLOCK,),
         in_specs=[
             spec((8, RAY_BLOCK), lambda i: (0, i)),
-            smem,
             smem,
             smem,
             _tris_spec(hbm, npad),
@@ -757,258 +736,16 @@ def _pallas_bvh_any_hit(scene, org, dirn, tmax=None, interpret=False,
             jax.ShapeDtypeStruct((3, B), jnp.int32),
         ],
         # stack depth: binned SAH with tile leaves keeps trees shallow
-        # (~2*log2(8192) worst observed ~40); 192 is paranoid headroom
-        scratch_shapes=[pltpu.SMEM((192,), jnp.int32)]
+        # (~2*log2(8192) worst observed ~40); 192 is paranoid headroom.
+        # ctrl (8,) carries the pair-walk's inner-node decision out of
+        # its pl.when region (next node, push flag)
+        scratch_shapes=[pltpu.SMEM((192,), jnp.int32),
+                        pltpu.SMEM((8,), jnp.int32)]
         + _hbm_scratch(hbm, max(1, scene.leaf_tiles_max)),
         interpret=interpret,
-    )(rays, nbox, nmeta, tbox, tris)
+    )(rays, nbox, nmeta, tris)
     stats = stat[:, ::RAY_BLOCK].astype(jnp.float32).sum(axis=1)
     return occ[0, :B_real] > 0.5, stats
-
-
-# ---------------------------------------------------------------------------
-# beam any-hit: scalar interval-slab walk, zero vector->scalar syncs
-# ---------------------------------------------------------------------------
-
-BEAM_BIG = 3.0e38
-
-
-def _beam_rows(org, dirn, live):
-    """Per-RAY_BLOCK conservative beam bounds -> (n_blocks, 16) f32.
-
-    Slots per block: [0:3] per-axis direction sign (+1/-1, 0 =
-    unconstrained: the block's directions span zero on that axis),
-    [3:6] mirrored origin lower bound (sg*o), [6:9] mirrored origin
-    upper bound, [9:12] 1/d'_hi, [12:15] 1/d'_lo (d' = sg*d > 0),
-    [15] block-live flag.  Cone-tiled AO blocks are compact in origin
-    AND direction by construction, so these bounds are tight; the
-    kernel walk tests nodes against the beam with ~50 SCALAR ops and no
-    vector->scalar sync — the TPU rebirth of the reference's beam
-    traversal (bvh.c:545-668), decided per block instead of per lane."""
-    B = org.shape[0]
-    nb = B // RAY_BLOCK
-    o = org.reshape(nb, RAY_BLOCK, 3)
-    d = dirn.reshape(nb, RAY_BLOCK, 3)
-    lv = live.reshape(nb, RAY_BLOCK, 1)
-    pinf = jnp.float32(jnp.inf)
-    dmin = jnp.min(jnp.where(lv, d, pinf), axis=1)
-    dmax = jnp.max(jnp.where(lv, d, -pinf), axis=1)
-    block_live = jnp.any(lv[..., 0], axis=1)
-    sg = jnp.where(dmin > 0, 1.0, jnp.where(dmax < 0, -1.0, 0.0))
-    d_lo = jnp.where(sg > 0, dmin, -dmax)
-    d_hi = jnp.where(sg > 0, dmax, -dmin)
-    il = 1.0 / jnp.maximum(d_hi, 1e-20)
-    ih = jnp.minimum(1.0 / jnp.maximum(d_lo, 1e-20), BEAM_BIG)
-    so = sg[:, None, :] * o
-    olo = jnp.min(jnp.where(lv, so, pinf), axis=1)
-    ohi = jnp.max(jnp.where(lv, so, -pinf), axis=1)
-    # dead blocks: force the walk's reach test false via the live flag
-    z = jnp.zeros((nb, 3), jnp.float32)
-    olo = jnp.where(block_live[:, None], olo, z)
-    ohi = jnp.where(block_live[:, None], ohi, z)
-    il = jnp.where(block_live[:, None], il, z)
-    ih = jnp.where(block_live[:, None], ih, z)
-    beam = jnp.zeros((nb, 16), jnp.float32)
-    beam = beam.at[:, 0:3].set(sg)
-    beam = beam.at[:, 3:6].set(olo)
-    beam = beam.at[:, 6:9].set(ohi)
-    beam = beam.at[:, 9:12].set(il)
-    beam = beam.at[:, 12:15].set(ih)
-    beam = beam.at[:, 15].set(block_live.astype(jnp.float32))
-    # SMEM block shapes need a sublane-multiple row count: pad each
-    # block's row to (8, 16) (rows 1-7 unused)
-    return jnp.broadcast_to(beam[:, None, :], (nb, 8, 16))
-
-
-def _beam_reach(beam_ref, box_ref, node):
-    """Scalar conservative beam-vs-AABB test: does ANY ray within the
-    block's (origin box x direction interval) beam hit the node's box?
-    Interval-arithmetic slab test, ~50 scalar ops, NO vector work."""
-    t_lo = jnp.float32(-BEAM_BIG)
-    t_hi = jnp.float32(BEAM_BIG)
-    for ax in range(3):
-        sg = beam_ref[0, 0, ax]
-        bmin = box_ref[ax, node]
-        bmax = box_ref[3 + ax, node]
-        p1 = jnp.minimum(sg * bmin, sg * bmax)
-        p2 = jnp.maximum(sg * bmin, sg * bmax)
-        olo = beam_ref[0, 0, 3 + ax]
-        ohi = beam_ref[0, 0, 6 + ax]
-        il = beam_ref[0, 0, 9 + ax]
-        ih = beam_ref[0, 0, 12 + ax]
-        n1 = p1 - ohi  # smallest possible near-plane numerator
-        n2 = p2 - olo  # largest possible far-plane numerator
-        tn = n1 * jnp.where(n1 >= 0.0, il, ih)
-        tf = n2 * jnp.where(n2 >= 0.0, ih, il)
-        unc = sg == 0.0
-        t_lo = jnp.maximum(t_lo, jnp.where(unc, -BEAM_BIG, tn))
-        t_hi = jnp.minimum(t_hi, jnp.where(unc, BEAM_BIG, tf))
-    return (t_lo <= t_hi) & (t_hi > 0.0) & (beam_ref[0, 0, 15] > 0.5)
-
-
-def _bvh_anyhit_beam_kernel(
-    rays_ref, beam_ref, nbox_ref, nmeta_ref, tbox_ref, tris_ref, occ_ref,
-    stat_ref, *scratch, n_nodes, hbm=False, tcull=False,
-):
-    """Any-hit occlusion with a SCALAR beam walk.
-
-    The lane walk (_bvh_anyhit_kernel) pays a vector->scalar sync
-    (~175 cy) per node visit for `any(reach)`; at ~100 visits per
-    cone-tiled block that sync tax dominates the 1M-triangle frame
-    (profiled round 4: 1.6M visits, 60% of tile time).  Here descent is
-    decided purely on the scalar core from per-block conservative beam
-    bounds (SMEM), so a node visit costs ~50 scalar ops and the VPU only
-    ever runs MT tile tests.  Trade: no occlusion-based early-out and
-    conservative (superset) reach — right for escape-dominated scenes
-    where lanes must sweep the frustum anyway; LUCILLE_BVH_WALK=lane
-    restores the old walk for occlusion-dominated content."""
-    cache, sem, tag, pend, cnt = scratch if hbm else (None,) * 5
-    if hbm:
-        _cache_init(tag)
-        cnt[0] = 0
-    ox = rays_ref[0:1, :]
-    oy = rays_ref[1:2, :]
-    oz = rays_ref[2:3, :]
-    dx = rays_ref[3:4, :]
-    dy = rays_ref[4:5, :]
-    dz = rays_ref[5:6, :]
-    tmax = rays_ref[6:7, :]
-
-    occ_ref[:, :] = jnp.zeros(occ_ref.shape, jnp.float32)
-
-    def mt_on(cols, base):
-        (v0x, v0y, v0z, e1x, e1y, e1z, e2x, e2y, e2z) = cols
-        px = dy * e2z - dz * e2y
-        py = dz * e2x - dx * e2z
-        pz = dx * e2y - dy * e2x
-        a = e1x * px + e1y * py + e1z * pz
-        valid = jnp.abs(a) > DET_EPS
-        inva = jnp.where(valid, 1.0 / jnp.where(valid, a, 1.0), 0.0)
-        sx = ox - v0x
-        sy = oy - v0y
-        sz = oz - v0z
-        qx = sy * e1z - sz * e1y
-        qy = sz * e1x - sx * e1z
-        qz = sx * e1y - sy * e1x
-        u = (sx * px + sy * py + sz * pz) * inva
-        v = (qx * dx + qy * dy + qz * dz) * inva
-        t = (e2x * qx + e2y * qy + e2z * qz) * inva
-        hit = (
-            valid
-            & (u >= 0.0)
-            & (u <= 1.0)
-            & (v >= 0.0)
-            & (u + v <= 1.0)
-            & (t > 0.0)
-            & (t < tmax)
-        )
-        any1 = jnp.any(hit, axis=0, keepdims=True)
-        occ_ref[:, :] = jnp.maximum(occ_ref[0:1, :], any1.astype(jnp.float32))
-
-    cull = (
-        (lambda tile: _beam_reach(beam_ref, tbox_ref, tile))
-        if tcull
-        else None
-    )
-
-    def tcond(c):
-        return c[0] < n_nodes
-
-    def tbody(c):
-        node, nvis, ntile = c
-        reach = _beam_reach(beam_ref, nbox_ref, node)
-        ltiles = nmeta_ref[2, node]
-        leaf = ltiles > 0
-
-        @pl.when(reach & leaf)
-        def _leaf():
-            _foreach_leaf_tile(
-                tris_ref, cache, sem, tag, pend, cnt, nmeta_ref[1, node],
-                ltiles, mt_on, hbm=hbm, cull=cull,
-            )
-
-        nxt = jnp.where(
-            reach & jnp.logical_not(leaf), node + 1, nmeta_ref[0, node]
-        )
-        return (nxt, nvis + 1, ntile + jnp.where(reach & leaf, ltiles, 0))
-
-    _, nvis, ntile = jax.lax.while_loop(
-        tcond, tbody, (jnp.int32(0), jnp.int32(0), jnp.int32(0))
-    )
-    stat_ref[0:1, :] = jnp.full(stat_ref[0:1, :].shape, nvis, jnp.int32)
-    stat_ref[1:2, :] = jnp.full(stat_ref[1:2, :].shape, ntile, jnp.int32)
-    nmiss = cnt[0] if hbm else jnp.int32(0)
-    stat_ref[2:3, :] = jnp.full(stat_ref[2:3, :].shape, nmiss, jnp.int32)
-
-
-def _beam_walk_on() -> bool:
-    """LUCILLE_BVH_WALK selects the cone-tiled gather's traversal.
-
-    'lane' (default) = per-lane reach walk with occlusion early-out.
-    'beam' = scalar beam walk — MEASURED 20-30x WORSE on the 1M
-    heightfield (0.048 vs 1.43 Mrays/s): the per-block convex beam hull
-    of an AO stratum (direction interval over 256 lanes with per-lane
-    shading frames) covers ~30% of the scene even at CONE_K=1 with the
-    coherent Frisvad basis, where the per-lane reach UNION touches ~60
-    tiles.  Kept for narrow-beam workloads (collimated shadow/eye
-    bundles), not gathers."""
-    import os
-
-    return os.environ.get("LUCILLE_BVH_WALK", "lane") == "beam"
-
-
-@partial(jax.jit, static_argnames=("interpret", "hbm", "tcull"))
-def _pallas_bvh_any_hit_beam(scene, org, dirn, live, tmax=None,
-                             interpret=False, hbm=False, tcull=False):
-    """Beam-walk occlusion over RAY_BLOCK blocks.  `live` masks the
-    lanes that participate in the beam bounds (parked/dead lanes would
-    otherwise blow the origin box up to the whole scene)."""
-    from lucille_tpu.accel.pallas_isect import _pack
-
-    tris, npad = _pack(scene)
-    nbox, nmeta = _node_arrays(scene)
-    tbox = _tile_boxes(scene, npad, tcull)
-    rays, B_real, B = _pad_rays(org, dirn, tmax)
-    live_w = jnp.zeros((B,), bool).at[:B_real].set(live)
-    beam = _beam_rows(
-        rays[0:3].T.reshape(B, 3), rays[3:6].T.reshape(B, 3), live_w
-    )
-
-    def spec(shape, index_map):
-        return pl.BlockSpec(shape, index_map, memory_space=_VMEM)
-
-    smem = pl.BlockSpec(memory_space=pltpu.SMEM)
-    occ, stat = pl.pallas_call(
-        partial(_bvh_anyhit_beam_kernel, n_nodes=scene.n_nodes, hbm=hbm,
-                tcull=tcull),
-        grid=(B // RAY_BLOCK,),
-        in_specs=[
-            spec((8, RAY_BLOCK), lambda i: (0, i)),
-            pl.BlockSpec((1, 8, 16), lambda i: (i, 0, 0),
-                         memory_space=pltpu.SMEM),
-            smem,
-            smem,
-            smem,
-            _tris_spec(hbm, npad),
-        ],
-        out_specs=[
-            spec((1, RAY_BLOCK), lambda i: (0, i)),
-            spec((3, RAY_BLOCK), lambda i: (0, i)),
-        ],
-        out_shape=[
-            jax.ShapeDtypeStruct((1, B), jnp.float32),
-            jax.ShapeDtypeStruct((3, B), jnp.int32),
-        ],
-        scratch_shapes=_hbm_scratch(hbm, max(1, scene.leaf_tiles_max)),
-        interpret=interpret,
-    )(rays, beam, nbox, nmeta, tbox, tris)
-    stats = stat[:, ::RAY_BLOCK].astype(jnp.float32).sum(axis=1)
-    return occ[0, :B_real] > 0.5, stats
-
-
-# ---------------------------------------------------------------------------
-# fused AO gather: strata loop outer, per-stratum BVH traversal inner
-# ---------------------------------------------------------------------------
 
 
 def _bvh_ao_kernel(
@@ -1091,29 +828,29 @@ def _bvh_ao_kernel(
             cur_ref[:, :] = jnp.zeros((1, rb), jnp.float32)
 
             def mt_on(cols, base):
+                # division-free signed-volume any-hit; see the ordered
+                # stack walk's mt_on for the derivation (AO gather rays
+                # are unbounded, so only t'a > 0 gates the range)
                 (v0x, v0y, v0z, e1x, e1y, e1z, e2x, e2y, e2z) = cols
                 px = dy * e2z - dz * e2y
                 py = dz * e2x - dx * e2z
                 pz = dx * e2y - dy * e2x
                 a = e1x * px + e1y * py + e1z * pz
-                valid = jnp.abs(a) > DET_EPS
-                inva = jnp.where(valid, 1.0 / jnp.where(valid, a, 1.0), 0.0)
                 sx = ox - v0x
                 sy = oy - v0y
                 sz = oz - v0z
                 qx = sy * e1z - sz * e1y
                 qy = sz * e1x - sx * e1z
                 qz = sx * e1y - sy * e1x
-                u = (sx * px + sy * py + sz * pz) * inva
-                v = (qx * dx + qy * dy + qz * dz) * inva
-                t = (e2x * qx + e2y * qy + e2z * qz) * inva
+                u = sx * px + sy * py + sz * pz
+                v = qx * dx + qy * dy + qz * dz
+                w = a - u - v
+                t = e2x * qx + e2y * qy + e2z * qz
+                inside = (jnp.minimum(jnp.minimum(u, v), w) >= 0.0) | (
+                    jnp.maximum(jnp.maximum(u, v), w) <= 0.0
+                )
                 hit = (
-                    valid
-                    & (u >= 0.0)
-                    & (u <= 1.0)
-                    & (v >= 0.0)
-                    & (u + v <= 1.0)
-                    & (t > 0.0)
+                    inside & (t * a > 0.0) & (jnp.abs(a) > DET_EPS)
                 )
                 any1 = jnp.any(hit, axis=0, keepdims=True)
                 cur_ref[:, :] = jnp.maximum(
@@ -1211,7 +948,7 @@ def pallas_bvh_ao_occlusion(
     if mode == "cone":
         return _pallas_bvh_ao_conetiled(
             scene, P_off, b0, b1, b2, hit, key, ntheta, nphi, interpret, hbm,
-            _cone_k(), _tile_cull_on(), _beam_walk_on(),
+            _cone_k(),
         )
     return _pallas_bvh_ao_occlusion(
         scene, P_off, b0, b1, b2, hit, key, ntheta, nphi, interpret, hbm,
@@ -1342,11 +1079,10 @@ def _cone_k() -> int:
 
 
 @partial(jax.jit,
-         static_argnames=("ntheta", "nphi", "interpret", "hbm", "K", "tcull",
-                          "beam"))
+         static_argnames=("ntheta", "nphi", "interpret", "hbm", "K"))
 def _pallas_bvh_ao_conetiled(
     scene, P_off, b0, b1, b2, hit, key, ntheta, nphi, interpret, hbm=False,
-    K=16, tcull=False, beam=True,
+    K=16,
 ):
     """AO gather as (origin-patch x direction-cone) blocks.
 
@@ -1365,14 +1101,9 @@ def _pallas_bvh_ao_conetiled(
     )
     NG, ST, K, G, S, Bpad, B = layout
 
-    if beam:
-        occ_flat, stats = _pallas_bvh_any_hit_beam(
-            scene, oo, dd, live, None, interpret, hbm, tcull
-        )
-    else:
-        occ_flat, stats = _pallas_bvh_any_hit(
-            scene, oo, dd, None, interpret, hbm, tcull
-        )
+    occ_flat, stats = _pallas_bvh_any_hit(
+        scene, oo, dd, None, interpret, hbm
+    )
     occ_g = (
         occ_flat.astype(jnp.float32).reshape(NG, S, G).sum(axis=1).reshape(-1)
     )
@@ -1381,9 +1112,12 @@ def _pallas_bvh_ao_conetiled(
 
 
 def _conetile_rays(scene, P_off, b0, b1, b2, hit, key, ntheta, nphi, K):
-    """Shared cone-tiled block assembly: returns (origins (S*Bpad, 3),
-    dirs (S*Bpad, 3), origin sort order, layout tuple) with lane layout
-    (origin-group NG, stratum-tile ST, k, g)."""
+    """Shared cone-tiled block assembly: returns (origins oo (S*Bpad, 3),
+    dirs dd (S*Bpad, 3), origin sort order, live lane mask (S*Bpad,),
+    layout tuple (NG, ST, K, G, S, Bpad, B)) with lane layout
+    (origin-group NG, stratum-tile ST, k, g); the layout's K is the
+    post-clamp strata-per-block (the K parameter rounded down to divide
+    both S and RAY_BLOCK)."""
     from lucille_tpu.accel.pallas_ao import compaction_order
 
     B = P_off.shape[0]
@@ -1450,14 +1184,9 @@ def pallas_bvh_ao_sunsky(
         scene, P_off, b0, b1, b2, hit, key, ntheta, nphi, _cone_k()
     )
     NG, ST, K, G, S, Bpad, B = layout
-    if _beam_walk_on():
-        occ_flat, stats = _pallas_bvh_any_hit_beam(
-            scene, oo, dd, live, None, interpret, hbm, _tile_cull_on()
-        )
-    else:
-        occ_flat, stats = _pallas_bvh_any_hit(
-            scene, oo, dd, None, interpret, hbm, _tile_cull_on()
-        )
+    occ_flat, stats = _pallas_bvh_any_hit(
+        scene, oo, dd, None, interpret, hbm
+    )
     vis = jnp.logical_not(occ_flat).astype(jnp.float32)
     # world (y-up) -> sky model (z-up): the reference's y/z swap
     # (lightsource.c:152-155)

@@ -70,7 +70,6 @@ def _isect_kernel(
     tri_s,
     *,
     n_tri_tiles,
-    tposed=False,
 ):
     """One ray block against every triangle tile; rays stay in lanes.
 
@@ -124,8 +123,7 @@ def _isect_kernel(
 
         @pl.when(live)
         def _tile():
-            load = _load_tile_cols_t if tposed else _load_tile_cols
-            (v0x, v0y, v0z, e1x, e1y, e1z, e2x, e2y, e2z) = load(
+            (v0x, v0y, v0z, e1x, e1y, e1z, e2x, e2y, e2z) = _load_tile_cols(
                 tris_ref, base, range(9)
             )
             t_best = t_s[0:1, :]
@@ -217,48 +215,6 @@ def _pack(scene):
     return tris, npad
 
 
-# transposed-pack ceiling: a (npad, 16) VMEM array pads its lane dim to
-# 128, costing 8x the f32 storage (npad * 512 B) — 16384 tris = 8.4 MB,
-# the most VMEM worth spending on killing the per-tile column transposes
-TRANSPOSED_MAX = 16384
-
-
-def _use_tposed(npad: int) -> bool:
-    """Opt-in (LUCILLE_ISECT_TPOSED=1): MEASURED SLOWER on v5e — the
-    width-1 lane loads lower to per-element broadcasts that cost MORE
-    than the 9 per-tile (1, TC) -> (TC, 1) relayouts they replace (AO
-    bench 126 -> 106 Mrays/s, whitted 0.41 -> 0.63 s).  Kept for the
-    sub-128 tile-height experiments, which need sublane-major columns."""
-    import os
-
-    if os.environ.get("LUCILLE_ISECT_TPOSED") != "1":
-        return False
-    return npad <= TRANSPOSED_MAX
-
-
-def _pack_t(scene, npad):
-    """Scene SoA -> (npad, 16) f32: triangles in SUBLANES.
-
-    The lane-major (16, npad) layout forces a (1, TC) -> (TC, 1)
-    cross-lane relayout for EVERY tile column load — 9 per (block,
-    tile) in the closest-hit kernel, measured ~40% of the small-scene
-    eye pass.  Sublane-major columns slice out as (TC, 1) directly
-    (width-1 lane reads lower as cheap lane broadcasts), and sublane
-    offsets only need 8-alignment, which also legalizes sub-128 tile
-    heights (LUCILLE_AO_TC)."""
-    n = scene.tri_v0.shape[0]
-    tris = jnp.zeros((npad, 16), jnp.float32)
-    tris = tris.at[:n, 0:3].set(scene.tri_v0)
-    tris = tris.at[:n, 3:6].set(scene.tri_e1)
-    tris = tris.at[:n, 6:9].set(scene.tri_e2)
-    return tris
-
-
-def _load_tile_cols_t(tris_ref, base, rows, tc=TC):
-    """(tc, 1) column loads from the transposed (npad, 16) matrix."""
-    return [tris_ref[pl.ds(base, tc), r : r + 1] for r in rows]
-
-
 SUPER = 16  # tiles per supertile (2048 triangles) for hierarchical culling
 
 
@@ -326,19 +282,17 @@ def pallas_closest_hit(scene, org, dirn, interpret: bool | None = None,
         # more than the skipped tile work (bench.py r4: pathtrace 26 ->
         # 2.7 Mrays/s when compacting 322-triangle bounces)
     return _pallas_closest_hit(scene, org, dirn, interpret, active,
-                               active is not None, _use_tposed(npad))
+                               active is not None)
 
 
-@partial(jax.jit, static_argnames=("interpret", "compact", "tposed"))
+@partial(jax.jit, static_argnames=("interpret", "compact"))
 def _pallas_closest_hit(scene, org, dirn, interpret: bool = False,
-                        active=None, compact: bool = False,
-                        tposed: bool = False):
+                        active=None, compact: bool = False):
     """Closest hit via the fused Pallas kernel.  B must be a multiple of
     RAY_BLOCK (the renderer's wavefronts are); returns the dispatch dict."""
     B = org.shape[0]
     assert B % RAY_BLOCK == 0, f"B={B} not a multiple of {RAY_BLOCK}"
-    _tris, npad = _pack(scene) if not tposed else (None, -(-scene.tri_v0.shape[0] // TC) * TC)
-    tris = _pack_t(scene, npad) if tposed else _tris
+    tris, npad = _pack(scene)
     boxes = _pack_boxes(scene, npad)
     n_tri_tiles = npad // TC
 
@@ -358,7 +312,7 @@ def _pallas_closest_hit(scene, org, dirn, interpret: bool = False,
 
     grid = (B // RAY_BLOCK,)
     n_blocks = B // RAY_BLOCK
-    kernel = partial(_isect_kernel, n_tri_tiles=n_tri_tiles, tposed=tposed)
+    kernel = partial(_isect_kernel, n_tri_tiles=n_tri_tiles)
     out_shape = [
         jax.ShapeDtypeStruct((1, B), jnp.float32),  # t
         jax.ShapeDtypeStruct((1, B), jnp.float32),  # u
@@ -374,7 +328,7 @@ def _pallas_closest_hit(scene, org, dirn, interpret: bool = False,
         if pltpu
         else pl.BlockSpec((8, n_tri_tiles), lambda i: (0, 0))
     )
-    tri_shape = (npad, 16) if tposed else (16, npad)
+    tri_shape = (16, npad)
     tri_spec = (
         pl.BlockSpec(tri_shape, lambda i: (0, 0), memory_space=_VMEM)
         if _VMEM
@@ -434,7 +388,7 @@ def _pallas_closest_hit(scene, org, dirn, interpret: bool = False,
 
 
 def _anyhit_kernel(nact_ref, rays_ref, boxes_ref, tris_ref, occ_ref, occ_s,
-                   *, n_tri_tiles, tposed=False):
+                   *, n_tri_tiles):
     """Occlusion-only variant: fused MT + window tests + any-reduce,
     same lane-major layout and tile-AABB culling as the closest-hit
     kernel; a ray already occluded also drops out of the slab test.
@@ -476,8 +430,7 @@ def _anyhit_kernel(nact_ref, rays_ref, boxes_ref, tris_ref, occ_ref, occ_s,
 
         @pl.when(jnp.any(reach))
         def _tile():
-            load = _load_tile_cols_t if tposed else _load_tile_cols
-            (v0x, v0y, v0z, e1x, e1y, e1z, e2x, e2y, e2z) = load(
+            (v0x, v0y, v0z, e1x, e1y, e1z, e2x, e2y, e2z) = _load_tile_cols(
                 tris_ref, base, range(9)
             )
             px = dy * e2z - dz * e2y
@@ -525,18 +478,16 @@ def pallas_any_hit(scene, org, dirn, tmax=None, interpret: bool | None = None,
     if npad // TC < COMPACT_MIN_TILES:
         active = None  # see pallas_closest_hit
     return _pallas_any_hit(scene, org, dirn, tmax, interpret, active,
-                           active is not None, _use_tposed(npad))
+                           active is not None)
 
 
-@partial(jax.jit, static_argnames=("interpret", "compact", "tposed"))
+@partial(jax.jit, static_argnames=("interpret", "compact"))
 def _pallas_any_hit(scene, org, dirn, tmax=None, interpret: bool = False,
-                    active=None, compact: bool = False,
-                    tposed: bool = False):
+                    active=None, compact: bool = False):
     """Occlusion query via the fused Pallas kernel; returns bool (B,)."""
     B = org.shape[0]
     assert B % RAY_BLOCK == 0
-    _tris, npad = _pack(scene) if not tposed else (None, -(-scene.tri_v0.shape[0] // TC) * TC)
-    tris = _pack_t(scene, npad) if tposed else _tris
+    tris, npad = _pack(scene)
     boxes = _pack_boxes(scene, npad)
     n_tri_tiles = npad // TC
     tmax_row = (
@@ -560,7 +511,7 @@ def _pallas_any_hit(scene, org, dirn, tmax=None, interpret: bool = False,
     rays = rays.at[6].set(tmax_row)
 
     grid = (B // RAY_BLOCK,)
-    kernel = partial(_anyhit_kernel, n_tri_tiles=n_tri_tiles, tposed=tposed)
+    kernel = partial(_anyhit_kernel, n_tri_tiles=n_tri_tiles)
     ray_spec = (
         pl.BlockSpec((8, RAY_BLOCK), lambda i: (0, i), memory_space=_VMEM)
         if _VMEM

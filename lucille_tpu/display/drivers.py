@@ -91,6 +91,9 @@ class FramebufferDriver(FileDriver):
         from lucille_tpu.display.sockdrv import SocketDriver
 
         sock = SocketDriver()
+        # bounded wait on the framebuffer route: if the spawned viewer
+        # never listens, fall back to file output in seconds, not 30
+        sock.spawn_wait = 6.0
         if sock.open(fname or "framebuffer", width, height):
             self._sock = sock
             return True

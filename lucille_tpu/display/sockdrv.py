@@ -49,6 +49,12 @@ class SocketDriver(DisplayDriver):
         )
         self.sock: socket.socket | None = None
         self._viewer = None  # auto-spawned rockenfield process
+        # how long open() waits for a freshly-spawned viewer to listen.
+        # Explicit Display "socket" keeps the generous window (a slow
+        # interpreter start under full CPU contention measured >5 s);
+        # the framebuffer ROUTE lowers it so headless/batch runs fall
+        # back to file output without a 30 s stall (ADVICE r4)
+        self.spawn_wait = 30.0
 
     def _spawn_viewer(self) -> bool:
         """Launch tools_tpu/rockenfield.py as the progressive viewer
@@ -96,7 +102,7 @@ class SocketDriver(DisplayDriver):
                         # we KNOW a viewer is coming: allow for a slow
                         # interpreter start on a loaded host (measured
                         # >5 s under full CPU contention)
-                        deadline = time.time() + 30.0
+                        deadline = time.time() + self.spawn_wait
                     else:
                         # nothing listening and no viewer to wait for:
                         # fail fast so callers (framebuffer fallback

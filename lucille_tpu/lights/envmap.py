@@ -172,13 +172,23 @@ class EnvMap:
         (s = .5 + .5*dx*r, view axis -z)."""
         try:
             data = np.load(path)
-            self._sis["file"] = (
-                np.asarray(data["dirs"], np.float32),
-                np.asarray(data["rgb"], np.float32),
-            )
+        except (ValueError, OSError):
+            data = None  # not an npz: fall through to gensamples.dat text
+        if data is not None:
+            try:
+                self._sis["file"] = (
+                    np.asarray(data["dirs"], np.float32),
+                    np.asarray(data["rgb"], np.float32),
+                )
+            except KeyError as e:
+                # a VALID npz missing the expected arrays is a caller
+                # error, not a text sisfile — name the missing key
+                # instead of parsing zip bytes as text (ADVICE r4)
+                raise ValueError(
+                    f"{path}: npz sisfile is missing array {e}; expected "
+                    "'dirs' (N,3) and 'rgb' (N,3)"
+                ) from e
             return
-        except (ValueError, OSError, KeyError):
-            pass  # not an npz: fall through to gensamples.dat text
         with open(path) as f:
             tokens = f.read().split()
         n = int(tokens[0])

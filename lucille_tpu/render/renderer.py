@@ -464,7 +464,10 @@ class Renderer:
             # LUCILLE_FRAME_ACCUM=1/0 forces.
             dev_img = jnp.zeros((H, W, 3), jnp.float32)
             dev_alpha = jnp.zeros((H, W), jnp.float32)
-            dev_counters = jnp.zeros((4,), jnp.float32)
+            # one row PER TILE (not a running f32 sum): frame totals past
+            # 2^24 would silently lose integer precision in a float32
+            # accumulator (ADVICE r4); rows are summed on host in f64
+            dev_counters = jnp.zeros((len(tiles), 4), jnp.float32)
             have_alpha = False
             for ti, (x0, y0, _i, _j) in enumerate(tiles):
                 tkey = jax.random.fold_in(jax.random.fold_in(key, x0), y0)
@@ -482,13 +485,13 @@ class Renderer:
                     dev_alpha = jax.lax.dynamic_update_slice(
                         dev_alpha, aux["alpha"][:th, :tw], (y0, x0)
                     )
-                dev_counters = dev_counters + aux["counters"]
+                dev_counters = dev_counters.at[ti].set(aux["counters"])
                 done[ti] = True
             # ONE bulk pull for the image + one for the counter vector
             image = np.asarray(dev_img, dtype=np.float32)
             if have_alpha:
                 alpha = np.asarray(dev_alpha, dtype=np.float32)
-            counters = np.asarray(dev_counters)
+            counters = np.asarray(dev_counters).astype(np.float64).sum(axis=0)
             self.stats.add(nrays=int(counters[3]))
             ntests_total += int(counters[0])
             ntrav_total += int(counters[1])

@@ -23,7 +23,7 @@ def _reference_occlusion(sc, P, b0, b1, b2, hit, key, ntheta, nphi, mt=False):
     from lucille_tpu.accel.pallas_ao import (
         _R2_A1,
         _R2_A2,
-        _tc_occ,
+        TC_OCC,
         compaction_order,
     )
 
@@ -31,7 +31,7 @@ def _reference_occlusion(sc, P, b0, b1, b2, hit, key, ntheta, nphi, mt=False):
     ns = ntheta * nphi
     # per-lane CP-rotation bases indexed by compacted lane position
     # (matches the wrapper): lane order[j] consumes jitter column j
-    n_tiles = -(-sc.tri_v0.shape[0] // _tc_occ())
+    n_tiles = -(-sc.tri_v0.shape[0] // TC_OCC)
     order, _ = compaction_order(sc, P, b2, hit, n_tiles)
     inv = jnp.zeros((B,), jnp.int32).at[order].set(jnp.arange(B, dtype=jnp.int32))
     base = jax.random.uniform(key, (2, B), dtype=jnp.float32)[:, inv]

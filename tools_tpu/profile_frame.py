@@ -157,7 +157,7 @@ def main():
     if scene.accel == "pallas":
         from lucille_tpu.accel.pallas_ao import (
             _pack_occ,
-            _tc_occ,
+            TC_OCC,
             compaction_order,
             pallas_ao_occlusion,
         )
@@ -172,14 +172,14 @@ def main():
                     "stage": "occl_megakernel",
                     "ms": dt * 1e3,
                     "per_gather_ray_ns": dt / max(nrays_gather, 1) * 1e9,
-                    "tc": _tc_occ(),
+                    "tc": TC_OCC,
                 }
             )
         )
         # sub-stage: the compaction sort alone
-        tris, npad = _pack_occ(scene, _tc_occ())
+        tris, npad = _pack_occ(scene, TC_OCC)
         sort_fn = jax.jit(
-            lambda P, b, h: compaction_order(scene, P, b, h, npad // _tc_occ())
+            lambda P, b, h: compaction_order(scene, P, b, h, npad // TC_OCC)
         )
         _, dt = _time(sort_fn, P_off, b2, hit)
         print(json.dumps({"stage": "sub_compaction_sort", "ms": dt * 1e3}))
