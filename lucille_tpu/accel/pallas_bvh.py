@@ -317,6 +317,8 @@ def _bvh_closest_kernel(
     v_ref,
     tri_ref,
     stat_ref,
+    stack_ref,
+    ctrl_ref,
     *scratch,
     n_nodes,
     hbm=False,
@@ -386,34 +388,75 @@ def _bvh_closest_kernel(
         v_ref[:, :] = jnp.where(better, v_sel, v_ref[0:1, :])
         tri_ref[:, :] = jnp.where(better, base + j, tri_ref[0:1, :])
 
+    # ordered child-pair walk (same shape as the any-hit kernel, with
+    # the running t_best as the reach bound): near-to-far descent
+    # shrinks t_best early so far subtrees prune; one packed
+    # vector->scalar sync per entered INNER node, none per leaf
+    sgx = (jnp.sum(dx) >= 0.0).astype(jnp.int32)
+    sgy = (jnp.sum(dy) >= 0.0).astype(jnp.int32)
+    sgz = (jnp.sum(dz) >= 0.0).astype(jnp.int32)
+    DONE = jnp.int32(n_nodes)
+
     def tcond(c):
         return c[0] < n_nodes
 
     def tbody(c):
-        node, nvis, ntile = c
-        tn, tf = _slab(node, nbox_ref, ox, oy, oz, ivx, ivy, ivz)
-        reach = (tn <= tf) & (tf > 0.0) & (tn < t_ref[0:1, :])
-        live = jnp.any(reach)
-        ltiles = nmeta_ref[2, node]
+        cur, sp, nvis, ntile = c
+        ltiles = nmeta_ref[2, cur]
         leaf = ltiles > 0
 
-        @pl.when(live & leaf)
+        @pl.when(leaf)
         def _leaf():
             _foreach_leaf_tile(
-                tris_ref, cache, sem, tag, pend, cnt, nmeta_ref[1, node],
+                tris_ref, cache, sem, tag, pend, cnt, nmeta_ref[1, cur],
                 ltiles, mt_on, hbm=hbm,
             )
 
-        nxt = jnp.where(live & jnp.logical_not(leaf), node + 1,
-                        nmeta_ref[0, node])
-        return (
-            nxt,
-            nvis + 1,
-            ntile + jnp.where(live & leaf, ltiles, 0),
-        )
+        @pl.when(jnp.logical_not(leaf))
+        def _inner():
+            c0 = cur + 1
+            c1 = nmeta_ref[3, cur]
+            tn0, tf0 = _slab(c0, nbox_ref, ox, oy, oz, ivx, ivy, ivz)
+            tn1, tf1 = _slab(c1, nbox_ref, ox, oy, oz, ivx, ivy, ivz)
+            t_best = t_ref[0:1, :]
+            r0 = (tn0 <= tf0) & (tf0 > 0.0) & (tn0 < t_best)
+            r1 = (tn1 <= tf1) & (tf1 > 0.0) & (tn1 < t_best)
+            s = jnp.sum(
+                r0.astype(jnp.float32) * 4096.0 + r1.astype(jnp.float32)
+            ).astype(jnp.int32)
+            a0 = s >= 4096
+            a1 = (s & 4095) > 0
+            axis = nmeta_ref[4, cur]
+            pos = jnp.where(axis == 0, sgx, jnp.where(axis == 1, sgy, sgz))
+            near_is_c0 = pos == 1
+            a_near = jnp.where(near_is_c0, a0, a1)
+            a_far = jnp.where(near_is_c0, a1, a0)
+            near = jnp.where(near_is_c0, c0, c1)
+            far = jnp.where(near_is_c0, c1, c0)
+            both = a_near & a_far
 
-    _, nvis, ntile = jax.lax.while_loop(
-        tcond, tbody, (jnp.int32(0), jnp.int32(0), jnp.int32(0))
+            @pl.when(both)
+            def _push():
+                stack_ref[sp] = far
+
+            ctrl_ref[0] = jnp.where(
+                a_near, near, jnp.where(a_far, far, jnp.int32(-1))
+            )
+            ctrl_ref[1] = both.astype(jnp.int32)
+
+        nxt_inner = ctrl_ref[0]
+        sp2 = sp + jnp.where(leaf, 0, ctrl_ref[1])
+        want_pop = leaf | (nxt_inner < 0)
+        popped = jnp.where(
+            sp2 > 0, stack_ref[jnp.maximum(sp2 - 1, 0)], DONE
+        )
+        nxt = jnp.where(want_pop, popped, nxt_inner)
+        sp3 = jnp.where(want_pop, jnp.maximum(sp2 - 1, 0), sp2)
+        return (nxt, sp3, nvis + 1, ntile + jnp.where(leaf, ltiles, 0))
+
+    _, _, nvis, ntile = jax.lax.while_loop(
+        tcond, tbody,
+        (jnp.int32(0), jnp.int32(0), jnp.int32(0), jnp.int32(0)),
     )
     stat_ref[0:1, :] = jnp.full(stat_ref[0:1, :].shape, nvis, jnp.int32)
     stat_ref[1:2, :] = jnp.full(stat_ref[1:2, :].shape, ntile, jnp.int32)
@@ -514,7 +557,9 @@ def _pallas_bvh_closest_hit(scene, org, dirn, tmax=None, interpret=False,
             jax.ShapeDtypeStruct((1, B), jnp.int32),
             jax.ShapeDtypeStruct((3, B), jnp.int32),
         ],
-        scratch_shapes=_hbm_scratch(hbm, max(1, scene.leaf_tiles_max)),
+        scratch_shapes=[pltpu.SMEM((192,), jnp.int32),
+                        pltpu.SMEM((8,), jnp.int32)]
+        + _hbm_scratch(hbm, max(1, scene.leaf_tiles_max)),
         interpret=interpret,
     )(rays, nbox, nmeta, tris)
 

@@ -554,6 +554,19 @@ class RiState:
             )
         )
 
+    def Curves(self, degree, nvertices, wrap, params):
+        """RiCurves: hair/fur strands (the FurRender R&D renderer's
+        primitive, rnd/FurRender/curve.h) tessellated to tube triangles
+        that ride the standard tile kernels."""
+        from lucille_tpu.ri import curves as _curves
+
+        self._add_geom(
+            _curves.build_curves(
+                degree, nvertices, wrap, params, self.ctm,
+                self._orientation_is_rh(), self.attrs,
+            )
+        )
+
     # ------------------------------------------------------------------
     # error tolerance
     # ------------------------------------------------------------------

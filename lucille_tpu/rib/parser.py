@@ -303,5 +303,8 @@ def _dispatch(state, name, args, line, searchpaths, depth):
     elif name == "SubdivisionMesh":
         pos, params = _split_params(args, 3)
         s.SubdivisionMesh(pos[0], pos[1], pos[2], params)
+    elif name == "Curves":
+        pos, params = _split_params(args, 3)
+        s.Curves(pos[0], pos[1], pos[2], params)
     else:
         s.unknown_command(name, line)

@@ -11,9 +11,11 @@ comment block:
    (sss.c:119-146);
 3. from the scatter point, gather incident light attenuated by the
    distance the light travels inside the medium (exponential Beer-Lambert
-   falloff), scaled by the phase function (isotropic here) and Fresnel
-   transmittances — incl. the diffuse Fresnel reflectance formula the
-   reference quotes (Fdr, sss.c:157-166).
+   falloff), scaled by the phase function — isotropic by default, or a
+   Lorenz-Mie table (ops/mie.py, the analog of the reference's
+   rnd/MieScattering tool) evaluated at the eye/light scattering angle —
+   and Fresnel transmittances, incl. the diffuse Fresnel reflectance
+   formula the reference quotes (Fdr, sss.c:157-166).
 
 Wavefront form: one scatter sample per lane per call; callers average
 multiple keys.  Light distance inside the medium uses the reference's
@@ -48,11 +50,14 @@ def single_scattering(
     sigma_s: float = 2.19 - 0.0021,
     eta: float = 1.4,  # sss.c:133
     nsamples: int = 4,
+    phase_table=None,
 ):
     """Single-scattering radiance at surface points P with normals N and
     incident (eye) directions I (pointing toward the surface).
 
-    Returns (B, 3) radiance.
+    phase_table: optional (R,) Lorenz-Mie phase table from
+    ops/mie.phase_table / milk_phase_table; None keeps the isotropic
+    1/(4 pi) phase the reference's sketch assumes.  Returns (B, 3).
     """
     B = P.shape[0]
     albedo_ss = sigma_s / sigma_t
@@ -92,9 +97,16 @@ def single_scattering(
             vis = 1.0 - any_hit(
                 scene, entry + N * scene.eps, wi
             ).astype(jnp.float32)
-            # Beer-Lambert along both path segments + isotropic phase
+            # Beer-Lambert along both path segments + phase function at
+            # the in-medium scattering angle (refracted eye dir -> wi)
             atten = jnp.exp(-sigma_t * (s_dist + si_dist))
-            phase = 1.0 / (4.0 * jnp.pi)
+            if phase_table is None:
+                phase = 1.0 / (4.0 * jnp.pi)
+            else:
+                from lucille_tpu.ops.mie import phase_lookup
+
+                cos_sc = jnp.sum(To * wi, axis=-1)
+                phase = phase_lookup(phase_table, cos_sc)
             ft = 1.0 - fresnel_diffuse_reflectance(eta)
             contrib = (
                 albedo_ss * phase * ft * atten * vis * cos_i

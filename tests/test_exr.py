@@ -107,3 +107,46 @@ class TestDriver:
         img = read_exr(exr)
         assert img.shape == (2, 4, 3)
         np.testing.assert_allclose(img, 0.5)
+
+
+class TestCompression:
+    """ZIP/ZIPS/RLE scanline codecs (the compressions a DCC most
+    commonly saves; the reference links full OpenEXR, openexrdrv.c)."""
+
+    def test_compressed_round_trip(self, tmp_path):
+        rng = np.random.default_rng(7)
+        img = rng.random((37, 53, 3)).astype(np.float32)
+        img[5:9] = 0.25  # compressible region exercises the codec path
+        for comp in ("rle", "zips", "zip"):
+            for pt, tol in (("half", 2e-3), ("float", 0.0)):
+                p = tmp_path / f"t_{comp}_{pt}.exr"
+                write_exr(p, img, pixel_type=pt, compression=comp)
+                back = read_exr(p)
+                assert back.shape == img.shape
+                assert np.abs(back - img).max() <= tol
+
+    def test_zip_is_smaller_and_flagged(self, tmp_path):
+        img = np.full((32, 64, 3), 0.125, np.float32)
+        a, b = tmp_path / "n.exr", tmp_path / "z.exr"
+        write_exr(a, img)
+        write_exr(b, img, compression="zip")
+        assert b.stat().st_size < a.stat().st_size
+        import struct as _s
+
+        buf = b.read_bytes()
+        i = buf.index(b"compression\x00compression\x00")
+        (sz,) = _s.unpack_from("<i", buf, i + 24)
+        assert buf[i + 28] == 3  # ZIP_COMPRESSION
+
+    def test_unfilter_inverts_filter(self):
+        from lucille_tpu.imageio.exr import _exr_filter, _exr_unfilter
+
+        rng = np.random.default_rng(3)
+        data = rng.integers(0, 256, 999, dtype=np.uint8).tobytes()
+        assert _exr_unfilter(_exr_filter(data)) == data
+
+    def test_rle_codec_inverts(self):
+        from lucille_tpu.imageio.exr import _rle_decode, _rle_encode
+
+        data = b"\x00" * 40 + bytes(range(30)) + b"\xff" * 300 + b"ab"
+        assert _rle_decode(_rle_encode(data)) == data
