@@ -25,6 +25,19 @@ REFERENCE_CPU_RAYS_PER_SEC = 5.256651e6  # CPU-lucille, measured (see docstring)
 # CPU-lucille on plane_sphere Scene_DEFAULT_Set0.rib at 128x128 (the
 # BASELINE.json north-star scene), same harness: 3.56 M rays/s
 REFERENCE_CPU_PLANE_SPHERE = 3.56e6
+# CPU-lucille ri_transport_whitted driven directly (the render loop
+# hard-codes AO at render.c:803), same scene at 640x480 3x3, 2 pthreads,
+# best of 3: tests/golden/gen_ri_driver.py --bench-whitted, measured
+# 2026-08-21.  Note the reference's whitted SHADES nothing without an
+# envmap (whitted.c:120-150) — this is a pure ray-throughput baseline.
+REFERENCE_CPU_WHITTED = 8.83e6
+# CPU-lucille gather_sunsky AO on the bundled scene (BASELINE.md r4)
+REFERENCE_CPU_SUNSKY_AO = 1.73e6
+# The reference's pathtracer (src/transport/pathtrace.c) does NOT
+# compile against the reference's own current headers (pre-vector-API
+# code: ri_vector_copy(&ray.org, ...) etc.; build_lucille.sh skips it),
+# so no CPU pathtrace baseline is establishable from the shipped source.
+REFERENCE_CPU_PATHTRACE = None
 
 RIB = "/root/reference/examples/ambient_occlusion/ambient_occlusion.rib"
 RIB_PS = "/root/reference/examples/plane_sphere/Scene_DEFAULT_Set0.rib"
@@ -109,6 +122,9 @@ def main() -> int:
     # (raytrace.c:96 counts actual ri_raytrace calls; counting the full
     # wavefront width per bounce inflated pathtrace ~5x in r2/r3).
     # Compare *_seconds across rounds, not Mrays/s, for those two.
+    # whitted_vs_baseline compares against the direct-driven
+    # ri_transport_whitted (REFERENCE_CPU_WHITTED above);
+    # pathtrace_vs_baseline is null — see REFERENCE_CPU_PATHTRACE.
     for method in ("whitted", "pathtrace"):
         try:
             rays_m, dt_m, m_samples = _measure(
@@ -117,6 +133,11 @@ def main() -> int:
             ps[f"{method}_rays_per_sec"] = rays_m / dt_m
             ps[f"{method}_seconds"] = dt_m
             ps[f"{method}_frame_samples"] = m_samples
+            base = (REFERENCE_CPU_WHITTED if method == "whitted"
+                    else REFERENCE_CPU_PATHTRACE)
+            ps[f"{method}_vs_baseline"] = (
+                rays_m / dt_m / base if base else None
+            )
         except (OSError, ValueError) as e:
             ps[f"{method}_error"] = str(e)
 
@@ -133,6 +154,7 @@ def main() -> int:
         ps["sunsky_ao_rays_per_sec"] = rays_sk / dt_sk
         ps["sunsky_ao_seconds"] = dt_sk
         ps["sunsky_ao_frame_samples"] = sk_samples
+        ps["sunsky_ao_vs_baseline"] = rays_sk / dt_sk / REFERENCE_CPU_SUNSKY_AO
     except Exception as e:  # noqa: BLE001
         ps["sunsky_ao_error"] = f"{type(e).__name__}: {e}"
 

@@ -57,6 +57,49 @@ def sample_area_light(light, u):
     return pts, nrm, jnp.full(u.shape[0], pdf_area, jnp.float32)
 
 
+def _hemisphere_occlusion(scene, P, N, key, nsamples: int, active):
+    """Stratified hemisphere occlusion COUNT via the fused AO kernels
+    (pallas_ao megakernel / cone-tiled tile BVH), or None when no fused
+    path serves this scene/wavefront.  Same estimator family as the
+    cosweight loop below (stratified instead of independent samples)."""
+    import math
+
+    nt = int(math.isqrt(nsamples))
+    while nt > 1 and nsamples % nt:
+        nt -= 1
+    nph = nsamples // nt
+    if nt * nph != nsamples:
+        return None
+    B = P.shape[0]
+    from lucille_tpu.transport.ao import ortho_basis
+
+    hit = (
+        active
+        if active is not None
+        else jnp.ones((B,), bool)
+    )
+    b0, b1, b2 = ortho_basis(N)
+    P_off = P + N * scene.eps
+    if scene.accel == "pallas":
+        from lucille_tpu.accel.pallas_ao import (
+            MAX_TRIS_FOR_MEGAKERNEL,
+            pallas_ao_occlusion,
+        )
+
+        if scene.tri_v0.shape[0] <= MAX_TRIS_FOR_MEGAKERNEL:
+            return pallas_ao_occlusion(
+                scene, P_off, b0, b1, b2, hit, key, nt, nph
+            )
+    if scene.accel == "pbvh" and scene.n_nodes > 0:
+        from lucille_tpu.accel.pallas_bvh import pallas_bvh_ao_occlusion
+
+        occ, _stats = pallas_bvh_ao_occlusion(
+            scene, P_off, b0, b1, b2, hit, key, nt, nph
+        )
+        return occ
+    return None
+
+
 def light_contribution(scene, light, P, N, key, nsamples: int = 1,
                        active=None):
     """Incident diffuse irradiance-ish contribution of one light:
@@ -97,6 +140,18 @@ def light_contribution(scene, light, P, N, key, nsamples: int = 1,
         # textured environment light: route through the sampler the RIB
         # selected (lightsource.c:127-142 tokens -> ibl.c:53-540)
         return _env_contribution(scene, light, P, N, key, nsamples)
+
+    if light.type == LIGHT_DOME:
+        # CONSTANT dome: the gather is pure hemisphere VISIBILITY, which
+        # is exactly the fused AO occlusion kernels' job (triangles
+        # hoisted across all strata, hit compaction) — whitted frames
+        # spent ~4 separate any_hit launches per tile here before.
+        # E = col * pi * visible_fraction (each cosine-weighted sample
+        # contributes li*pi; li constant).
+        occ = _hemisphere_occlusion(scene, P, N, key, nsamples, active)
+        if occ is not None:
+            vis_frac = 1.0 - occ / nsamples
+            return vis_frac[:, None] * col * jnp.pi
 
     if light.type in (LIGHT_DOME, LIGHT_SUNSKY, LIGHT_IBL):
         # cosine-weighted hemisphere gather (ibl.c:53 cosweight sampler)

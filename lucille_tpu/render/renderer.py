@@ -439,14 +439,7 @@ class Renderer:
                 for slot, ti in enumerate(group):
                     pending[ti] = (rnd, slot)
         elif (
-            (
-                os.environ.get("LUCILLE_FRAME_ACCUM", "auto") == "1"
-                or (
-                    os.environ.get("LUCILLE_FRAME_ACCUM", "auto") == "auto"
-                    and opt.render_method == "whitted"
-                )
-            )
-            and os.environ.get("LUCILLE_FRAME_ACCUM") != "0"
+            os.environ.get("LUCILLE_FRAME_ACCUM") == "1"
             and tile_cb is None
             and progress_cb is None
             and checkpoint is None
@@ -455,13 +448,12 @@ class Renderer:
         ):
             # ---- device-side frame accumulation -------------------------
             # Assemble the frame in a DEVICE buffer and pull it ONCE.
-            # MEASURED per workload class on this tunnel: SLOWER for
-            # device-bound frames (AO bench 128 -> 108 Mrays/s — the
-            # single bulk pull serializes where per-tile pulls overlap
-            # compute) but FASTER for host-transfer-bound ones (whitted
-            # 427 -> 375 ms: device work ~10 ms of a 75 ms tile).  Auto
-            # policy: on for whitted, off elsewhere;
-            # LUCILLE_FRAME_ACCUM=1/0 forces.
+            # Opt-in only since r5: per-tile pulls with copy_to_host_async
+            # (below) overlap transfers with compute AND each other, and
+            # MEASURED faster than the bulk pull even on the whitted
+            # frames this path was built for (r4 auto-on: 384 ms; r5
+            # async per-tile: 319 ms).  Kept for single-transfer
+            # workflows (LUCILLE_FRAME_ACCUM=1).
             dev_img = jnp.zeros((H, W, 3), jnp.float32)
             dev_alpha = jnp.zeros((H, W), jnp.float32)
             # one row PER TILE (not a running f32 sum): frame totals past
@@ -511,6 +503,20 @@ class Renderer:
                         self.scene, jnp.int32(x0), jnp.int32(y0), jitter, weights, tkey
                     )
                 )
+            # start every device->host copy NOW: each tile's transfer
+            # begins the moment its kernel finishes instead of when its
+            # blocking np.asarray turn comes up in the collection loop.
+            # On the remote-tunneled device the pulls otherwise
+            # serialize on per-transfer RTT — the transfer-plan half of
+            # the reference's free bucket-thread overlap
+            # (render.c:1043-1166), host-transfer-bound frames (whitted)
+            # being the measured beneficiary
+            for p in pending:
+                if p is None:
+                    continue
+                for arr in (p[0], *p[1].values()):
+                    if hasattr(arr, "copy_to_host_async"):
+                        arr.copy_to_host_async()
         for ti, (x0, y0, _i, _j) in enumerate(tiles if pending is not None
                                               else ()):
             th = min(tile_h, H - y0)

@@ -61,13 +61,83 @@ def _flatten_archives(rib_path, depth=0, root=None) -> str:
     return re.sub(r'ReadArchive\s+"([^"]+)"', repl, text)
 
 
-def gen(rib_path: str, out_path: str, format_wh=None) -> None:
+WHITTED_BENCH = r"""
+  {
+    whitted_arg_t args[2];
+    pthread_t th[2];
+    int ti;
+    ri_render_t *render = ri_render_get();
+    unsigned long long rays0 = render->stat.nrays;
+    double t0 = wallnow();
+    for (ti = 0; ti < 2; ti++) {
+      args[ti].tid = ti;
+      pthread_create(&th[ti], 0, whitted_rows, &args[ti]);
+    }
+    for (ti = 0; ti < 2; ti++) pthread_join(th[ti], 0);
+    {
+      double dt = wallnow() - t0;
+      unsigned long long rays = render->stat.nrays - rays0;
+      printf("WHITTED_BASELINE rays=%llu seconds=%.6f mrays=%.6f\n",
+             rays, dt, rays / dt / 1e6);
+    }
+  }
+"""
+
+
+def gen(rib_path: str, out_path: str, format_wh=None,
+        bench_whitted=False) -> None:
     text = _flatten_archives(rib_path)
     cur = _Cursor(list(tokenize(text)))
     lines = [
         '#include "ri.h"',
         "#include <stdio.h>",
         "static RtToken tok[16]; static RtPointer val[16];",
+    ]
+    if bench_whitted:
+        lines += [
+            '#include <pthread.h>',
+            '#include <sys/time.h>',
+            '#include "render.h"',
+            '#include "scene.h"',
+            '#include "whitted.h"',
+            '#include "camera.h"',
+            '#include "option.h"',
+            "static double wallnow(void) { struct timeval tv; "
+            "gettimeofday(&tv, 0); return tv.tv_sec + 1e-6 * tv.tv_usec; }",
+            "typedef struct { int tid; } whitted_arg_t;",
+            "static void *whitted_rows(void *p) {",
+            "  int tid = ((whitted_arg_t *)p)->tid;",
+            "  ri_render_t *render = ri_render_get();",
+            "  ri_camera_t *camera = render->context->option->camera;",
+            "  ri_display_t *disp = "
+            "ri_option_get_curr_display(render->context->option);",
+            "  int w = camera->horizontal_resolution;",
+            "  int h = camera->vertical_resolution;",
+            "  int xsamples = (int)disp->sampling_rates[0];",
+            "  int ysamples = (int)disp->sampling_rates[1];",
+            "  int x, y, xs, ys;",
+            "  ri_ray_t ray; ri_transport_info_t result;",
+            "  ri_vector_t from, dir;",
+            "  for (y = tid; y < h; y += 2) {",
+            "    for (x = 0; x < w; x++) {",
+            "      for (ys = 0; ys < ysamples; ys++) {",
+            "        for (xs = 0; xs < xsamples; xs++) {",
+            "          ri_camera_get_pos_and_dir(from, dir, camera,",
+            "              (ri_float_t)(x + (xs + 0.5) / xsamples),",
+            "              (ri_float_t)(y + (ys + 0.5) / ysamples));",
+            "          ri_vector_copy(ray.org, from);",
+            "          ri_vector_copy(ray.dir, dir);",
+            "          ri_vector_normalize(ray.dir);",
+            "          ray.d = 3; ray.i = 0; ray.thread_num = tid;",
+            "          ri_transport_whitted(render, &ray, &result);",
+            "        }",
+            "      }",
+            "    }",
+            "  }",
+            "  return 0;",
+            "}",
+    ]
+    lines += [
         "int main(int argc, char **argv) {",
         "  (void)argc; (void)argv;",
         "  RiBegin(RI_NULL);",
@@ -149,7 +219,16 @@ def gen(rib_path: str, out_path: str, format_wh=None) -> None:
         elif name == "WorldBegin":
             lines.append("  RiWorldBegin();")
         elif name == "WorldEnd":
-            lines.append("  RiWorldEnd();")
+            if bench_whitted:
+                lines.append("  ri_render_get()->context->world_block--;")
+                lines.append("  ri_render_setup(ri_render_get());")
+                lines.append("  ri_scene_setup(ri_render_get()->scene);")
+                lines.append(
+                    "  ri_camera_setup("
+                    "ri_render_get()->context->option->camera);"
+                )
+            else:
+                lines.append("  RiWorldEnd();")
         elif name == "AttributeBegin":
             lines.append("  RiAttributeBegin();")
         elif name == "AttributeEnd":
@@ -196,6 +275,18 @@ def gen(rib_path: str, out_path: str, format_wh=None) -> None:
                 f"  RiPointsPolygonsV({len(nverts)}, nv{n_arr}, vi{n_arr}, "
                 f"{np_params}, tok, val);"
             )
+    if bench_whitted:
+        # a timed ri_transport_whitted sweep over every subpixel.  The
+        # reference hard-codes AO at render.c:803 (whitted is commented
+        # out there), so the only way to measure its whitted transport
+        # is to drive it directly: replicate ri_render_frame's setup
+        # phase (render.c: ri_render_setup + ri_scene_setup +
+        # ri_camera_setup — WorldEnd can't be used because
+        # render_frame_cleanup frees the scene), then sweep every
+        # subpixel with the subsample() ray setup (render.c:760-800) and
+        # raytrace.c:96 ray counting (render->stat.nrays).  Two pthreads
+        # to match the AO baseline's threading.
+        lines.append(WHITTED_BENCH)
     lines.append("  RiEnd();")
     lines.append("  return 0;")
     lines.append("}")
@@ -207,8 +298,11 @@ def gen(rib_path: str, out_path: str, format_wh=None) -> None:
 if __name__ == "__main__":
     fmt = None
     argv = sys.argv[1:]
+    bench_whitted = "--bench-whitted" in argv
+    if bench_whitted:
+        argv.remove("--bench-whitted")
     if "--format" in argv:
         i = argv.index("--format")
         fmt = (int(argv[i + 1]), int(argv[i + 2]))
         argv = argv[:i] + argv[i + 3 :]
-    gen(argv[0], argv[1], fmt)
+    gen(argv[0], argv[1], fmt, bench_whitted)
