@@ -106,19 +106,6 @@ MAX_TRIS_FOR_MEGAKERNEL = 131072
 # than the skipped work (measured -20% on the 3-tile bench scene)
 _STRATUM_CULL_MIN_TILES = 8
 
-# strata per GROUP for the two-level cull (r4): one interval-slab test
-# over a group's direction bounds (~50 row ops + one sync) covers GS
-# per-stratum tests (~90 cy each) — consecutive strata are theta-adjacent
-# (theta varies fastest), so a group spans a narrow cone per lane
-_GROUP_STRATA = 4
-
-
-def _group_strata() -> int:
-    import os
-
-    return int(os.environ.get("LUCILLE_AO_GS", _GROUP_STRATA))
-
-
 def _ao_kernel(
     nact_ref,
     rays_ref,
@@ -134,7 +121,6 @@ def _ao_kernel(
     nphi,
     tc=TC_OCC,
     want_bits=False,
-    gs=None,
 ):
     nsamples = ntheta * nphi
     rb = rays_ref.shape[1]
@@ -148,13 +134,16 @@ def _ao_kernel(
         bits_ref[:, :] = jnp.zeros((n_bit_rows, rb), jnp.int32)
     else:
         bits_ref = None
-    (wx_ref, wy_ref, wz_ref, flag_ref, ix_ref, iy_ref, iz_ref,
-     gmin_ref, gmax_ref) = rest
-    GS = gs if gs is not None else _group_strata()
-    ngroups = nsamples // GS if nsamples % GS == 0 else 0
-    # group culls pay off whenever there is more than one tile to skip
-    group_on = ngroups >= 2 and n_tri_tiles >= 2
-    strat_cull_on = n_tri_tiles >= _STRATUM_CULL_MIN_TILES
+    (wx_ref, wy_ref, wz_ref, flag_ref, ix_ref, iy_ref, iz_ref) = rest
+    # batched per-stratum culls (r5): ALL nsamples slab tests for a tile
+    # run as one (nsamples, RB) matrix computation whose per-stratum
+    # "any lane reaches" bits pack into ceil(nsamples/22) vector->scalar
+    # syncs — engaged from 2 tiles (the r4 per-stratum design cost one
+    # ~90 cy sync per (tile, stratum) and only paid off past 8 tiles;
+    # its two-level stratum-GROUP variant is superseded and recorded in
+    # docs/performance.md)
+    cull_on = n_tri_tiles >= 4
+    PACK_BITS = 22  # 2^22 summands stay exact in f32
 
     # inactive blocks (compaction moved every live lane below nact) write
     # zeros and skip all compute; their DMA cost is negligible
@@ -203,31 +192,17 @@ def _ao_kernel(
             wx_ref[pl.ds(s, 1), :] = wx
             wy_ref[pl.ds(s, 1), :] = wy
             wz_ref[pl.ds(s, 1), :] = wz
-            if strat_cull_on or group_on:
-                iwx = 1.0 / jnp.where(jnp.abs(wx) > 1e-20, wx, 1e-20)
-                iwy = 1.0 / jnp.where(jnp.abs(wy) > 1e-20, wy, 1e-20)
-                iwz = 1.0 / jnp.where(jnp.abs(wz) > 1e-20, wz, 1e-20)
-            if strat_cull_on:
-                # bounded reciprocals for the per-stratum slab cull
-                ix_ref[pl.ds(s, 1), :] = iwx
-                iy_ref[pl.ds(s, 1), :] = iwy
-                iz_ref[pl.ds(s, 1), :] = iwz
-            if group_on:
-                # per-group min/max reciprocal rows: products n * i are
-                # monotone in i, so [imin, imax] bounds give conservative
-                # entry/exit over every stratum in the group
-                g = s // GS
-                first = (s % GS) == 0
-                for ax, iw in ((0, iwx), (1, iwy), (2, iwz)):
-                    row = pl.ds(g * 3 + ax, 1)
-                    prev_lo = gmin_ref[row, :]
-                    prev_hi = gmax_ref[row, :]
-                    gmin_ref[row, :] = jnp.where(
-                        first, iw, jnp.minimum(prev_lo, iw)
-                    )
-                    gmax_ref[row, :] = jnp.where(
-                        first, iw, jnp.maximum(prev_hi, iw)
-                    )
+            if cull_on:
+                # bounded reciprocals for the batched slab culls
+                ix_ref[pl.ds(s, 1), :] = (
+                    1.0 / jnp.where(jnp.abs(wx) > 1e-20, wx, 1e-20)
+                )
+                iy_ref[pl.ds(s, 1), :] = (
+                    1.0 / jnp.where(jnp.abs(wy) > 1e-20, wy, 1e-20)
+                )
+                iz_ref[pl.ds(s, 1), :] = (
+                    1.0 / jnp.where(jnp.abs(wz) > 1e-20, wz, 1e-20)
+                )
             flag_ref[pl.ds(s, 1), :] = jnp.zeros((1, rb), jnp.float32)
             return 0
 
@@ -330,95 +305,78 @@ def _ao_kernel(
                 )
 
             def strat(s, _):
-                # per-(tile, stratum) slab cull + occluded-lane early-out:
-                # ~30 (1, RB)-row ops decide whether the (TC, RB) triple
-                # products (3300 op-equivalents) run at all.  Strata are
-                # theta bands, so near-normal strata skip distant tiles
-                # and near-horizon strata skip overhead ones.  On small
-                # scenes the conditional is pure overhead (measured -20%
-                # on the 3-tile bench scene), so it only compiles in past
-                # _STRATUM_CULL_MIN_TILES.
                 prev = flag_ref[pl.ds(s, 1), :]
-                if not strat_cull_on:
+                if not cull_on:
                     _pair_work(s, prev)
                     return 0
-                ivx = ix_ref[pl.ds(s, 1), :]
-                ivy = iy_ref[pl.ds(s, 1), :]
-                ivz = iz_ref[pl.ds(s, 1), :]
-                t0x = (bminx - ox) * ivx
-                t1x = (bmaxx - ox) * ivx
-                t0y = (bminy - oy) * ivy
-                t1y = (bmaxy - oy) * ivy
-                t0z = (bminz - oz) * ivz
-                t1z = (bmaxz - oz) * ivz
-                tn = jnp.maximum(
-                    jnp.maximum(jnp.minimum(t0x, t1x), jnp.minimum(t0y, t1y)),
-                    jnp.minimum(t0z, t1z),
-                )
-                tf = jnp.minimum(
-                    jnp.minimum(jnp.maximum(t0x, t1x), jnp.maximum(t0y, t1y)),
-                    jnp.maximum(t0z, t1z),
-                )
-                reach = (tn <= tf) & (tf > 0.0) & (prev < 0.5)
+                # gate: this stratum's packed cull bit (computed for the
+                # whole tile below, zero extra syncs here)
+                c = s // PACK_BITS
+                bit = s - c * PACK_BITS
+                sel = packs[0]
+                for ci in range(1, len(packs)):
+                    sel = jnp.where(c == ci, packs[ci], sel)
+                gate = ((sel >> bit) & 1) > 0
 
-                @pl.when(jnp.any(reach))
+                @pl.when(gate)
                 def _pair():
                     _pair_work(s, prev)
 
                 return 0
 
-            if not group_on:
+            if not cull_on:
                 jax.lax.fori_loop(0, nsamples, strat, 0)
                 return 0
 
-            def group_body(g, _):
-                # two-level cull: one interval slab over the group's
-                # per-lane direction bounds covers GS per-stratum tests
-                BIG = 3.0e38
-                t_lo = jnp.full((1, rb), -BIG, jnp.float32)
-                t_hi = jnp.full((1, rb), BIG, jnp.float32)
-                for ax, orow, lo_s, hi_s in (
-                    (0, ox, bminx, bmaxx),
-                    (1, oy, bminy, bmaxy),
-                    (2, oz, bminz, bmaxz),
-                ):
-                    n1 = lo_s - orow
-                    n2 = hi_s - orow
-                    row = pl.ds(g * 3 + ax, 1)
-                    imn = gmin_ref[row, :]
-                    imx = gmax_ref[row, :]
-                    a = n1 * imn
-                    b = n1 * imx
-                    c = n2 * imn
-                    d = n2 * imx
-                    t_lo = jnp.maximum(
-                        t_lo,
-                        jnp.minimum(jnp.minimum(a, b), jnp.minimum(c, d)),
-                    )
-                    t_hi = jnp.minimum(
-                        t_hi,
-                        jnp.maximum(jnp.maximum(a, b), jnp.maximum(c, d)),
-                    )
-                # a group is dead once every stratum in it is occluded
-                unocc = flag_ref[pl.ds(g * GS, 1), :]
-                for k in range(1, GS):
-                    unocc = jnp.minimum(
-                        unocc, flag_ref[pl.ds(g * GS + k, 1), :]
-                    )
-                reach_g = (
-                    (t_lo <= t_hi)
-                    & (t_hi > 0.0)
-                    & (unocc < 0.5)
-                    & (hit_row_m > 0.5)
+            # ---- batched per-stratum culls: one (nsamples, RB) slab
+            # test against the tile bbox decides every stratum's pair
+            # work at once.  Sublane-parallel rows make the matrix form
+            # ~GS x cheaper per stratum than the r4 row-at-a-time culls,
+            # and the per-stratum "any lane reaches" column packs into
+            # ceil(nsamples/22) scalar syncs instead of one per stratum
+            # (exact: each packed sum adds distinct powers of two,
+            # bounded by 2^22, within f32's 24-bit mantissa).  Occlusion
+            # early-out: flags are read at tile entry, so strata whose
+            # every live lane occluded on an EARLIER tile drop out; the
+            # within-tile update the serial sweep had is given up for
+            # the sync savings.
+            ivx = ix_ref[:, :]  # (nsamples, RB)
+            ivy = iy_ref[:, :]
+            ivz = iz_ref[:, :]
+            t0x = (bminx - ox) * ivx
+            t1x = (bmaxx - ox) * ivx
+            t0y = (bminy - oy) * ivy
+            t1y = (bmaxy - oy) * ivy
+            t0z = (bminz - oz) * ivz
+            t1z = (bmaxz - oz) * ivz
+            tn = jnp.maximum(
+                jnp.maximum(jnp.minimum(t0x, t1x), jnp.minimum(t0y, t1y)),
+                jnp.minimum(t0z, t1z),
+            )
+            tf = jnp.minimum(
+                jnp.minimum(jnp.maximum(t0x, t1x), jnp.maximum(t0y, t1y)),
+                jnp.maximum(t0z, t1z),
+            )
+            reach = (
+                (tn <= tf)
+                & (tf > 0.0)
+                & (flag_ref[:, :] < 0.5)
+                & (hit_row_m > 0.5)
+            )
+            anyrow = jnp.any(reach, axis=1, keepdims=True)  # (nsamples, 1)
+            af = anyrow.astype(jnp.float32)
+            iota = jax.lax.broadcasted_iota(jnp.int32, (nsamples, 1), 0)
+            packs = []
+            for lo in range(0, nsamples, PACK_BITS):
+                hi = min(lo + PACK_BITS, nsamples)
+                w = jnp.where(
+                    (iota >= lo) & (iota < hi),
+                    (jnp.int32(1) << (iota - lo)).astype(jnp.float32),
+                    0.0,
                 )
+                packs.append(jnp.sum(af * w).astype(jnp.int32))
 
-                @pl.when(jnp.any(reach_g))
-                def _grp():
-                    jax.lax.fori_loop(g * GS, (g + 1) * GS, strat, 0)
-
-                return 0
-
-            jax.lax.fori_loop(0, ngroups, group_body, 0)
+            jax.lax.fori_loop(0, nsamples, strat, 0)
             return 0
 
         if n_super > 1:
@@ -591,7 +549,7 @@ def pallas_ao_occlusion(
         interpret = jax.default_backend() == "cpu"
     occ, _bits, _u = _pallas_ao_occlusion(
         scene, P_off, b0, b1, b2, hit, key, ntheta, nphi, interpret,
-        TC_OCC, False, _group_strata(),
+        TC_OCC, False,
     )
     return occ
 
@@ -609,21 +567,16 @@ def pallas_ao_occlusion_bits(
         interpret = jax.default_backend() == "cpu"
     return _pallas_ao_occlusion(
         scene, P_off, b0, b1, b2, hit, key, ntheta, nphi, interpret,
-        TC_OCC, True, _group_strata(),
+        TC_OCC, True,
     )
 
 
 @partial(jax.jit,
-         static_argnames=("ntheta", "nphi", "interpret", "tc", "want_bits",
-                          "gs"))
+         static_argnames=("ntheta", "nphi", "interpret", "tc", "want_bits"))
 def _pallas_ao_occlusion(
     scene, P_off, b0, b1, b2, hit, key, ntheta, nphi, interpret, tc=TC_OCC,
-    want_bits=False, gs=None,
+    want_bits=False,
 ):
-    # gs rides the jit cache key: LUCILLE_AO_GS changed mid-process must
-    # recompile, not silently reuse the old group size (ADVICE r4)
-    if gs is None:
-        gs = _group_strata()
     B = P_off.shape[0]
     Bpad = -(-B // AO_RAY_BLOCK) * AO_RAY_BLOCK
     nsamples = ntheta * nphi
@@ -680,14 +633,11 @@ def _pallas_ao_occlusion(
         nphi=nphi,
         tc=tc,
         want_bits=want_bits,
-        gs=gs,
     )
-    # wx/wy/wz directions, flags, reciprocal rows, group min/max bounds
-    _gs = gs
-    ngroups = nsamples // _gs if nsamples % _gs == 0 else 1
-    scratch_shapes = [pltpu.VMEM((nsamples, AO_RAY_BLOCK), jnp.float32)] * 7 + [
-        pltpu.VMEM((3 * max(ngroups, 1), AO_RAY_BLOCK), jnp.float32)
-    ] * 2
+    # wx/wy/wz directions, flags, reciprocal rows
+    scratch_shapes = [
+        pltpu.VMEM((nsamples, AO_RAY_BLOCK), jnp.float32)
+    ] * 7
 
     n_bit_rows = -(-nsamples // 32)
     out_specs = [spec((1, AO_RAY_BLOCK), lambda i: (0, i))]
