@@ -507,12 +507,25 @@ def _node_arrays(scene):
     return nbox, nmeta
 
 
-def _pad_rays(org, dirn, tmax):
+def _ah_block(hbm: bool) -> int:
+    """Any-hit walk block width, static per scene class.
+
+    The walk's cost is per-ITERATION (sync + loop overhead, ~460 cy
+    measured r5), so wider blocks amortize it over more lanes at the
+    price of a bigger per-block leaf union.  MEASURED (r5): 512 lanes
+    win on VMEM-resident scenes where leaf visits are cheap dense MTs
+    (130k heightfield 5.39 -> 5.53 Mrays/s, 2.04x CPU) and LOSE on
+    HBM-streamed scenes where the union growth nearly doubles the pair
+    tests (1M: 1.99 -> 1.63) — so streaming scenes keep 256."""
+    return 256 if hbm else 512
+
+
+def _pad_rays(org, dirn, tmax, block=RAY_BLOCK):
     """(8, Bpad) ray rows; pad lanes carry zero direction + tmax 0, which
     fails both the slab test (tf > 0) and the MT window (t < tmax), so
     they are inert."""
     B = org.shape[0]
-    Bpad = -(-B // RAY_BLOCK) * RAY_BLOCK
+    Bpad = -(-B // block) * block
     rays = jnp.zeros((8, Bpad), jnp.float32)
     rays = rays.at[0:3, :B].set(org.T)
     rays = rays.at[3:6, :B].set(dirn.T)
@@ -757,7 +770,8 @@ def _pallas_bvh_any_hit(scene, org, dirn, tmax=None, interpret=False,
 
     tris, npad = _pack(scene)
     nbox, nmeta = _node_arrays(scene)
-    rays, B_real, B = _pad_rays(org, dirn, tmax)
+    blk = _ah_block(hbm)
+    rays, B_real, B = _pad_rays(org, dirn, tmax, blk)
 
     def spec(shape, index_map):
         return pl.BlockSpec(shape, index_map, memory_space=_VMEM)
@@ -765,16 +779,16 @@ def _pallas_bvh_any_hit(scene, org, dirn, tmax=None, interpret=False,
     smem = pl.BlockSpec(memory_space=pltpu.SMEM)
     occ, stat = pl.pallas_call(
         partial(_bvh_anyhit_kernel, n_nodes=scene.n_nodes, hbm=hbm),
-        grid=(B // RAY_BLOCK,),
+        grid=(B // blk,),
         in_specs=[
-            spec((8, RAY_BLOCK), lambda i: (0, i)),
+            spec((8, blk), lambda i: (0, i)),
             smem,
             smem,
             _tris_spec(hbm, npad),
         ],
         out_specs=[
-            spec((1, RAY_BLOCK), lambda i: (0, i)),
-            spec((3, RAY_BLOCK), lambda i: (0, i)),
+            spec((1, blk), lambda i: (0, i)),
+            spec((3, blk), lambda i: (0, i)),
         ],
         out_shape=[
             jax.ShapeDtypeStruct((1, B), jnp.float32),
@@ -789,7 +803,7 @@ def _pallas_bvh_any_hit(scene, org, dirn, tmax=None, interpret=False,
         + _hbm_scratch(hbm, max(1, scene.leaf_tiles_max)),
         interpret=interpret,
     )(rays, nbox, nmeta, tris)
-    stats = stat[:, ::RAY_BLOCK].astype(jnp.float32).sum(axis=1)
+    stats = stat[:, ::blk].astype(jnp.float32).sum(axis=1)
     return occ[0, :B_real] > 0.5, stats
 
 
@@ -1001,17 +1015,24 @@ def pallas_bvh_ao_occlusion(
     )
 
 
-def _stratified_dirs(b0, b1, b2, key, ntheta: int, nphi: int):
+def _stratified_dirs(b0, b1, b2, key, ntheta: int, nphi: int,
+                     nreal: int | None = None):
     """All ntheta*nphi stratified hemisphere directions for every lane:
     (S, B, 3).  Same sample DISTRIBUTION as the fused kernel — two
     per-lane uniforms, Cranley-Patterson-rotated per stratum by the R2
     sequence (ambientocclusion.c:85-110 strata; qmc.c:380-428 flavor) —
     but the per-lane uniform STREAMS differ (drawn per raster lane here,
     per compacted lane in the fused kernel), so individual pixels differ
-    under LUCILLE_BVH_AO=rebinned while image statistics match."""
+    under LUCILLE_BVH_AO=rebinned while image statistics match.
+
+    nreal bounds the uniform draw so the stream is independent of the
+    block-padding amount (pad lanes are dead and never consume samples;
+    AH_BLOCK changes must not move live lanes' samples)."""
     B = b0.shape[0]
     S = ntheta * nphi
-    u = jax.random.uniform(key, (2, B), dtype=jnp.float32)
+    u = jax.random.uniform(key, (2, nreal or B), dtype=jnp.float32)
+    if nreal and nreal != B:
+        u = jnp.zeros((2, B), jnp.float32).at[:, :nreal].set(u)
     s = jnp.arange(S, dtype=jnp.float32)
     sh0 = s * _R2_A1
     sh0 = sh0 - jnp.floor(sh0)
@@ -1167,10 +1188,11 @@ def _conetile_rays(scene, P_off, b0, b1, b2, hit, key, ntheta, nphi, K):
 
     B = P_off.shape[0]
     S = ntheta * nphi
-    while K > 1 and (S % K or RAY_BLOCK % K):
+    blk = _ah_block(_use_hbm(_scene_npad(scene)))
+    while K > 1 and (S % K or blk % K):
         K //= 2
-    G = RAY_BLOCK // K
-    Bpad = -(-B // max(G, RAY_BLOCK)) * max(G, RAY_BLOCK)
+    G = blk // K
+    Bpad = -(-B // max(G, blk)) * max(G, blk)
 
     if Bpad != B:
         hit_w = jnp.zeros((Bpad,), hit.dtype).at[:B].set(hit)
@@ -1180,7 +1202,7 @@ def _conetile_rays(scene, P_off, b0, b1, b2, hit, key, ntheta, nphi, K):
         hit_w = hit
     order, _nhit = compaction_order(scene, P_off, b2, hit_w, 1 << 20)
 
-    d_all = _stratified_dirs(b0, b1, b2, key, ntheta, nphi)  # (S, Bpad, 3)
+    d_all = _stratified_dirs(b0, b1, b2, key, ntheta, nphi, B)  # (S,Bpad,3)
     # park dead lanes outside the scene so their blocks fail the root
     # slab in one step
     diag = scene.bbox_max - scene.bbox_min

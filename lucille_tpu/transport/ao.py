@@ -150,7 +150,9 @@ def ao_radiance(
     if scene.accel == "pbvh" and scene.n_nodes > 0:
         # large scenes: fused gather with per-(block, stratum) tile-BVH
         # traversal (pallas_bvh.py) — the production accelerator
-        from lucille_tpu.accel.pallas_bvh import RAY_BLOCK, TC
+        from lucille_tpu.accel.pallas_bvh import (
+            TC, _ah_block, _scene_npad, _use_hbm,
+        )
         from lucille_tpu.accel.pallas_bvh import pallas_bvh_ao_occlusion
 
         occ, gstats = pallas_bvh_ao_occlusion(
@@ -160,7 +162,8 @@ def ao_radiance(
         # ones (the reference counts BOTH, raytrace.c:43 + render.h:40-47)
         extra = {
             "ntrav": gstats[0],
-            "ntests": gstats[1] * (TC * RAY_BLOCK),
+            "ntests": gstats[1]
+            * (TC * _ah_block(_use_hbm(_scene_npad(scene)))),
             "nmiss": gstats[2],
         }
         return _finish(

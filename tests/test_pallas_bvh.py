@@ -110,12 +110,21 @@ class TestAOKernelParity:
             sc, P, b0, b1, b2, hit, key, ntheta, nphi
         )
 
-        # cone path: padded arrays, uniforms drawn over ALL Bpad lanes
-        Bpad = 256
+        # cone path: padded arrays; uniforms drawn at the TRUE wavefront
+        # width (pad-independent stream) and zero-padded like
+        # _stratified_dirs(nreal=B)
+        from lucille_tpu.accel.pallas_bvh import (
+            _ah_block, _scene_npad, _use_hbm,
+        )
+
+        Bpad = max(_ah_block(_use_hbm(_scene_npad(sc))), 256)
         hit_w = jnp.zeros((Bpad,), hit.dtype).at[:B].set(hit)
         pad3 = lambda a: jnp.zeros((Bpad, 3), a.dtype).at[:B].set(a)
         Pp, b0p, b1p, b2p = pad3(P), pad3(b0), pad3(b1), pad3(b2)
-        u = np.asarray(jax.random.uniform(key, (2, Bpad), dtype=jnp.float32))
+        u = np.zeros((2, Bpad), np.float32)
+        u[:, :B] = np.asarray(
+            jax.random.uniform(key, (2, B), dtype=jnp.float32)
+        )
         v1w = sc.tri_v0 + sc.tri_e1
         v2w = sc.tri_v0 + sc.tri_e2
         occ_ref = np.zeros(Bpad, np.float32)
