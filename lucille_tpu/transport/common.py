@@ -11,6 +11,11 @@ def interp_hit(scene, res, org, dirn):
     Returns dict(P, Ns (faceted toward the ray), Ng, st (B, 2), cs (B, 3),
     geom (B,), kd, ks (B,), mat_color (B, 3), emission (B, 3)).
     Mirrors ri_intersection_state_build (intersection_state.c:100-240).
+
+    All per-triangle attributes ride ONE (B, 25) gather and all
+    per-geometry material fields ONE (B, 12) gather: twelve separate
+    (B,)-indexed gathers were ~10 ms of a 47 ms whitted tile (slope,
+    r5), while widening a single gather's row is nearly free.
     """
     tri = jnp.maximum(res["tri"], 0)
     u = res["u"][..., None]
@@ -20,15 +25,38 @@ def interp_hit(scene, res, org, dirn):
     t = jnp.where(res["hit"], res["t"], 0.0)
     P = org + t[..., None] * dirn
 
-    n = w * scene.n0[tri] + u * scene.n1[tri] + v * scene.n2[tri]
+    # one packed per-triangle attribute row: the (T, .) tables are tiny,
+    # so the concat is free and the gather's row width is amortized
+    tattr = jnp.concatenate(
+        [
+            scene.n0, scene.n1, scene.n2,            # 0:9
+            scene.st0, scene.st1, scene.st2,         # 9:15
+            scene.c0, scene.c1, scene.c2,            # 15:24
+            scene.geom_id[:, None].astype(jnp.float32),  # 24
+        ],
+        axis=1,
+    )
+    rows = tattr[tri]  # (B, 25)
+
+    n = w * rows[:, 0:3] + u * rows[:, 3:6] + v * rows[:, 6:9]
     Ns = n / jnp.maximum(jnp.linalg.norm(n, axis=-1, keepdims=True), 1e-20)
     ng = jnp.cross(scene.tri_e1[tri], scene.tri_e2[tri])
     Ng = ng / jnp.maximum(jnp.linalg.norm(ng, axis=-1, keepdims=True), 1e-20)
 
-    st = w * scene.st0[tri] + u * scene.st1[tri] + v * scene.st2[tri]
-    cs = w * scene.c0[tri] + u * scene.c1[tri] + v * scene.c2[tri]
+    st = w * rows[:, 9:11] + u * rows[:, 11:13] + v * rows[:, 13:15]
+    cs = w * rows[:, 15:18] + u * rows[:, 18:21] + v * rows[:, 21:24]
 
-    geom = scene.geom_id[tri]
+    geom = rows[:, 24].astype(jnp.int32)
+    mattr = jnp.concatenate(
+        [
+            scene.mat_kd[:, None], scene.mat_ks[:, None],
+            scene.mat_kt[:, None], scene.mat_ior[:, None],
+            scene.mat_roughness[:, None],             # 0:5
+            scene.mat_color, scene.mat_emission,      # 5:11
+        ],
+        axis=1,
+    )
+    mrows = mattr[geom]  # (B, 11)
     return {
         "P": P,
         "Ns": Ns,
@@ -36,13 +64,13 @@ def interp_hit(scene, res, org, dirn):
         "st": st,
         "cs": cs,
         "geom": geom,
-        "kd": scene.mat_kd[geom],
-        "ks": scene.mat_ks[geom],
-        "kt": scene.mat_kt[geom],
-        "ior": scene.mat_ior[geom],
-        "roughness": scene.mat_roughness[geom],
-        "mat_color": scene.mat_color[geom],
-        "emission": scene.mat_emission[geom],
+        "kd": mrows[:, 0],
+        "ks": mrows[:, 1],
+        "kt": mrows[:, 2],
+        "ior": mrows[:, 3],
+        "roughness": mrows[:, 4],
+        "mat_color": mrows[:, 5:8],
+        "emission": mrows[:, 8:11],
     }
 
 
