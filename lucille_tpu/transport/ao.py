@@ -44,8 +44,7 @@ def ortho_basis(n):
     function of n (y unless n is nearly vertical-in-y, then x): lanes
     with similar normals get similar frames, which is what makes a
     stratum's gathered directions a COMPACT WORLD-SPACE CONE — the
-    property the cone-tiled blocks and the scalar beam walk
-    (pallas_bvh.py) live on."""
+    property the cone-tiled block walks (pallas_bvh.py) live on."""
     # branchless Frisvad/Duff frame: continuous in n everywhere except
     # n = (0,0,-1), so neighboring normals get neighboring frames
     nx = n[..., 0]
