@@ -116,7 +116,7 @@ def build_tile_kernel(
             P_hit = org + jnp.where(hitw, t_eye, 0.0)[:, None] * dirn
             radiance = apply_atmosphere(
                 radiance, ray_len, P_hit, hitw, atmosphere[0], atmosphere[1],
-                searchpaths,
+                searchpaths, dirn=dirn,
             )
 
         # pixel-filter reconstruction over subsamples (render.c:715-823

@@ -86,16 +86,57 @@ def apply_imager(frame, alpha, name, params, searchpaths=None):
 # ---------------------------------------------------------------------------
 
 
-def apply_atmosphere(ci, ray_len, P, hit, name, params, searchpaths=None):
+def apply_atmosphere(ci, ray_len, P, hit, name, params, searchpaths=None,
+                     dirn=None):
     """Fog the wavefront radiance by ray length.
 
     ci: (B, 3); ray_len: (B,) eye-ray |I|; P: (B, 3) hit points;
-    hit: (B,) bool — escaped rays keep their radiance.
+    hit: (B,) bool — escaped rays keep their radiance; dirn: optional
+    (B, 3) eye directions (the "miefog" phase needs the eye/sun angle).
     """
     import jax.numpy as jnp
 
     if not name:
         return ci
+    if name in ("miefog",) and dirn is not None:
+        # single-scattering haze with a Lorenz-Mie phase function
+        # (ops/mie.py — the MieScattering R&D tool driving a real
+        # atmosphere): Beer-Lambert extinction over the eye path plus
+        # in-scatter from a directional sun, with the phase evaluated
+        # at cos(theta) between the eye ray and the sun direction.
+        from lucille_tpu.ops.mie import phase_table
+
+        density = max(_p1(params, "density", 0.05), 0.0)
+        albedo = min(max(float(_p1(params, "albedo", 0.9)), 0.0), 1.0)
+        sundir = np.asarray(
+            _p1(params, "sundir", np.array([0.3, 1.0, 0.2])), np.float32
+        )[:3]
+        sundir = sundir / max(np.linalg.norm(sundir), 1e-9)
+        suncol = np.asarray(
+            _p1(params, "suncolor", np.ones(3)), np.float32
+        )[:3] * _p1(params, "intensity", 1.0)
+        wavelength = _p1(params, "wavelength", 600.0)   # nm
+        radius = _p1(params, "particlesize", 1000.0)    # nm
+        eta = _p1(params, "eta", 1.33)                  # water droplet
+        table = jnp.asarray(
+            phase_table(wavelength, radius, eta, 1.0), jnp.float32
+        )
+        d = dirn / jnp.maximum(
+            jnp.linalg.norm(dirn, axis=-1, keepdims=True), 1e-20
+        )
+        cosg = d @ jnp.asarray(sundir)
+        res = table.shape[0]
+        theta = jnp.arccos(jnp.clip(cosg, -1.0, 1.0))
+        f = theta / (2.0 * jnp.pi) * res
+        i0 = jnp.clip(f.astype(jnp.int32), 0, res - 2)
+        wfrac = f - i0.astype(jnp.float32)
+        ph = table[i0] * (1.0 - wfrac) + table[i0 + 1] * wfrac
+        ext = jnp.exp(-density * ray_len)
+        inscatter = (
+            albedo * (1.0 - ext[:, None]) * ph[:, None] * suncol[None, :]
+        )
+        out = ci * ext[:, None] + inscatter
+        return jnp.where(hit[:, None], out, ci)
     if name in ("fog",):
         # standard RenderMan fog: mix toward background on 1-exp(-l/d)
         dist = max(_p1(params, "distance", 1.0), 1e-6)
